@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over a documents table.
+  *
+  * All hashing is md5-hex so an external SQL oracle (DuckDB) computes
+  * byte-identical values; at production scale the same shapes run with
+  * xxhash64 for speed (flip [[hashCol]]).
+  *
+  * Scale posture: exact dedup is a single hash-shuffle on the digest;
+  * MinHash/LSH turns the O(n²) pair space into per-bucket candidate
+  * joins — the band-bucket groupBy is the only shuffle, and bucket
+  * sizes are bounded by near-dup cluster size, not corpus size.
+  */
+object DedupOps {
+
+  /** Word tokens, lowercased, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word-level n-gram shingles as space-joined strings. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))
+      )
+    ).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exact-duplicate groups by content digest: one row per digest with
+    * the keeper (min id) and the duplicate count. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_docs")
+      )
+
+  /** MinHash signature component j: min over shingles of
+    * md5(j || ':' || shingle). Deterministic and engine-portable
+    * (string min over hex digests). */
+  def minhashSig(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Attach k MinHash signature columns sig_0..sig_{k-1}. */
+  def withMinhash(df: DataFrame, textCol: String, shingleN: Int, k: Int): DataFrame = {
+    val sh = shingles(col(textCol), shingleN)
+    (0 until k).foldLeft(df.withColumn("__sh", array_distinct(sh))) { (acc, j) =>
+      acc.withColumn(s"sig_$j", minhashSig(col("__sh"), j))
+    }
+  }
+
+  /** Exact Jaccard similarity of two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni   = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** LSH-banded near-duplicate candidate pairs with exact Jaccard
+    * verification. Bands of `rowsPerBand` signatures are concatenated
+    * into bucket keys; docs sharing any bucket become candidates; the
+    * final Jaccard filter removes LSH false positives.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numSigs: Int,
+      rowsPerBand: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    val signed  = withMinhash(df, textCol, shingleN, numSigs)
+    val nBands  = numSigs / rowsPerBand
+    val banded = signed.select(
+      col(idCol).as("doc_id"),
+      col("__sh").as("sh"),
+      explode(
+        array((0 until nBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            concat_ws(
+              "|",
+              (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*
+            ).as("bucket")
+          )
+        }: _*)
+      ).as("bb")
+    )
+    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("bb"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("bb"))
+    a.join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 16-bit SimHash from md5 hex-digit high bits: bit j of token t is
+    * 1 iff hex digit j of md5(t) is in [8, f]. Engine-portable (pure
+    * string ops); production variant swaps in a 64-bit integer hash.
+    */
+  def simhash16(tokensArr: Column): Column = {
+    val bits = (0 until 16).map { j =>
+      val vote = aggregate(
+        tokensArr,
+        lit(0),
+        (acc, t) =>
+          acc + when(substring(md5(t), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)
+      )
+      when(vote > 0, lit(1)).otherwise(lit(0)) * lit(1 << j)
+    }
+    bits.reduce(_ + _)
+  }
+}

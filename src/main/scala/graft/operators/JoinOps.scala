@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes from SURVEY.md §2.C beyond plain equi-joins. All
+  * declarative DataFrame joins: Catalyst/AQE pick broadcast vs
+  * shuffle; callers broadcast small sides explicitly.
+  */
+object JoinOps {
+
+  /** Exact-offset lookback self-join: for each (keys, date) row attach
+    * the value exactly `days` calendar days earlier, NULL when that
+    * exact date is missing (calendar-day semantics of the reference —
+    * ref calculate_market_analysis_return.sql:56-76). Implemented as a
+    * projected self-join on (keys, date+days) so it stays a single
+    * shuffle-hash join on the same keys at scale.
+    */
+  def lookbackExact(
+      df: DataFrame,
+      keys: Seq[String],
+      dateCol: String,
+      valueCol: String,
+      days: Seq[Int]
+  ): DataFrame = {
+    days.foldLeft(df) { (acc, d) =>
+      val prior = df
+        .select(
+          (keys.map(col) :+
+            date_add(col(dateCol), d).as(dateCol) :+
+            col(valueCol).as(s"${valueCol}_${d}d_ago")): _*
+        )
+      acc.join(prior, keys :+ dateCol, "left")
+    }
+  }
+
+  /** Banded anti-join dedup: drop a row when a "better" row with the
+    * same keys exists within ±`days` (ref stg_corporate_actions.sql:
+    * 178-205). `better` decides precedence between two candidate rows
+    * (left = candidate being tested, right = potential shadow-er); it
+    * must be a strict total order to keep the result deterministic.
+    */
+  def bandedAntiJoin(
+      df: DataFrame,
+      keys: Seq[String],
+      dateCol: String,
+      days: Int,
+      better: Column
+  ): DataFrame = {
+    val l    = df.alias("l")
+    val r    = df.alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      abs(datediff(col(s"l.$dateCol"), col(s"r.$dateCol"))) <= days &&
+      better
+    l.join(r, cond, "left_anti")
+  }
+
+  /** Latest-row-before lookup: for each left row, the single right row
+    * with the greatest `rightDate` strictly before `leftDate` (ref
+    * stg_corporate_actions.sql:71-82 — inequality join + ROW_NUMBER
+    * dedup). tieBreak columns must make the choice deterministic.
+    */
+  def latestBefore(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftDate: String,
+      rightDate: String,
+      tieBreak: Seq[String]
+  ): DataFrame = {
+    val joined = left.join(
+      right,
+      keys.map(k => left(k) === right(k)).reduce(_ && _) &&
+        right(rightDate) < left(leftDate),
+      "left"
+    )
+    val w = Window
+      .partitionBy((keys.map(left(_)) :+ left(leftDate)): _*)
+      .orderBy((right(rightDate).desc_nulls_last +: tieBreak.map(right(_).desc)): _*)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Point-in-time "latest per group" join: reduce to the row carrying
+    * the max order column per key (ref fred_series_latest_aggregates
+    * .sql:110-137). Uses max_by-style struct-max — one aggregation, no
+    * join, no window sort. */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], orderCol: String, valueCols: Seq[String]): DataFrame = {
+    val packed = struct((orderCol +: valueCols).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(packed).as("__latest"))
+      .select((keys.map(col) ++ (orderCol +: valueCols).map(c => col(s"__latest.$c").as(c))): _*)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-side write semantics from SURVEY.md §2.A: MERGE upsert,
+  * SCD Type-2 dimension maintenance, schema-aligned append. On plain
+  * parquet these are expressed as dedup-union rewrites (the Delta
+  * MERGE fast path is a drop-in swap when a transactional format is
+  * available); the transformations themselves are pure DataFrame ops
+  * so they distribute and test like any other operator.
+  */
+object SinkOps {
+
+  /** MERGE upsert semantics (ref bigquery_warehouse.py:124-179):
+    * source rows win on key collision; source is first deduped to one
+    * row per key by `precedence` (a descending sort spec) so the
+    * result is deterministic. Result = matched-updated + unmatched-
+    * kept + inserted.
+    */
+  def mergeUpsert(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      precedence: Seq[Column]
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(precedence: _*)
+    val dedupedSource = source
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    target.join(dedupedSource, keys, "left_anti").unionByName(dedupedSource)
+  }
+
+  /** Schema-aligned append (ref bigquery_warehouse.py:310-349): pad
+    * missing columns with NULL on both sides, then append. */
+  def alignedUnion(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** SCD Type-2 apply (ref markets/assets.py:87-224): given the current
+    * dimension (with dateStarted/dateEnded, NULL dateEnded = active)
+    * and a fresh full snapshot, close rows whose attributes changed or
+    * that left the snapshot, keep unchanged actives, and open new rows.
+    *
+    * `asOfDate` stamps both closures and openings. Attribute equality
+    * is null-safe (<=>).
+    */
+  def scd2Apply(
+      current: DataFrame,
+      snapshot: DataFrame,
+      keys: Seq[String],
+      attrs: Seq[String],
+      asOfDate: String,
+      dateStarted: String = "date_started",
+      dateEnded: String = "date_ended"
+  ): DataFrame = {
+    val active  = current.filter(col(dateEnded).isNull)
+    val closed  = current.filter(col(dateEnded).isNotNull)
+    val snap    = snapshot.select((keys ++ attrs).map(col): _*)
+
+    val joined = active.alias("cur").join(
+      snap.alias("new"),
+      keys.map(k => col(s"cur.$k") === col(s"new.$k")).reduce(_ && _),
+      "full_outer"
+    )
+    val keyPresent  = keys.map(k => col(s"new.$k").isNotNull).reduce(_ && _)
+    val curPresent  = keys.map(k => col(s"cur.$k").isNotNull).reduce(_ && _)
+    val attrsEqual  =
+      if (attrs.isEmpty) lit(true)
+      else attrs.map(a => col(s"cur.$a") <=> col(s"new.$a")).reduce(_ && _)
+
+    // unchanged active rows survive as-is
+    val unchanged = joined
+      .filter(curPresent && keyPresent && attrsEqual)
+      .select(active.columns.map(c => col(s"cur.$c").as(c)): _*)
+    // changed or departed rows get closed
+    val toClose = joined
+      .filter(curPresent && (!keyPresent || !attrsEqual))
+      .select(active.columns.map(c => col(s"cur.$c").as(c)): _*)
+      .withColumn(dateEnded, to_date(lit(asOfDate)))
+    // new or changed keys open a fresh active row
+    val toOpen = joined
+      .filter(keyPresent && (!curPresent || !attrsEqual))
+      .select((keys ++ attrs).map(c => col(s"new.$c").as(c)): _*)
+      .withColumn(dateStarted, to_date(lit(asOfDate)))
+      .withColumn(dateEnded, lit(null).cast("date"))
+
+    val openCols = closed.columns
+    closed
+      .unionByName(unchanged)
+      .unionByName(toClose)
+      .unionByName(toOpen.select(openCols.map(c => col(c)): _*))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Window-function primitives mirroring the reference's ta_* macro
+  * bundle (SURVEY.md §2.E; ref dbt_project/macros/technical_analysis/
+  * ta_primitives.sql). All pure `WindowSpec`/`Column` composition —
+  * Catalyst merges same-spec windows into one shuffle+sort, so a stack
+  * of indicators over one (key, date) window costs a single exchange.
+  */
+object WindowOps {
+
+  /** Canonical per-instrument window: partition by keys, order by time. */
+  def keyed(partCols: Seq[Column], orderCol: Column): WindowSpec =
+    Window.partitionBy(partCols: _*).orderBy(orderCol)
+
+  /** Trailing n-row frame including the current row (ta_rolling,
+    * ref ta_primitives.sql:18-26). */
+  def trailing(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
+
+  /** Trailing frame EXCLUDING the current row (ta_rolling_prior — e.g.
+    * Donchian channels, no self-confirmation; ref ta_primitives.sql:29-39). */
+  def trailingPrior(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-n, -1)
+
+  /** Cumulative frame from the start of the partition. */
+  def cumulative(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, 0)
+
+  /** Strictly-future frame (cumulative future split factor; ref
+    * stg_split_adjusted_prices.sql:59-68). */
+  def future(w: WindowSpec): WindowSpec =
+    w.rowsBetween(1, Window.unboundedFollowing)
+
+  /** Calendar-day RANGE frame: order by day-ordinal so gaps in the
+    * trading calendar shrink the frame (ref
+    * calculate_market_analysis_return.sql:89-197). Caller must
+    * `orderBy(epochDay(dateCol))` — use [[rangeDays]].
+    */
+  def rangeDays(partCols: Seq[Column], dateCol: Column, days: Int): WindowSpec =
+    Window
+      .partitionBy(partCols: _*)
+      .orderBy(epochDay(dateCol))
+      .rangeBetween(-days, 0)
+
+  /** Rolling z-score of `c` over a trailing n-row frame (ta_zscore,
+    * ref ta_primitives.sql:60-66). */
+  def zscore(c: Column, w: WindowSpec, n: Int): Column = {
+    val f  = trailing(w, n)
+    val mu = avg(c).over(f)
+    val sd = stddev_samp(c).over(f)
+    safeDivide(c - mu, sd)
+  }
+
+  /** Position of `c` within its trailing n-row [min, max] range
+    * (ta_range_position, ref ta_primitives.sql:69-81). 0 = at low,
+    * 1 = at high, NULL when the range is degenerate. */
+  def rangePosition(c: Column, w: WindowSpec, n: Int): Column = {
+    val f  = trailing(w, n)
+    val lo = min(c).over(f)
+    val hi = max(c).over(f)
+    safeDivide(c - lo, hi - lo)
+  }
+
+  /** Finite-window EWM over the trailing `window` rows (reference
+    * semantics: weight-normalized, NULL values dropped but offsets
+    * kept; ref ta_primitives.sql:84-126). alpha = 2/(span+1) for EMA,
+    * 1/n for Wilder smoothing. Requires a position column (e.g.
+    * row_number over the same window ordering).
+    */
+  def ewm(value: Column, pos: Column, w: WindowSpec, window: Int, alpha: Double): Column = {
+    val arr = collect_list(struct(pos.as("pos"), value.as("v")))
+      .over(w.rowsBetween(-(window - 1), 0))
+    ewmFromArray(arr, pos, alpha)
+  }
+
+  /** Rolling OLS of y on x from windowed moments (ref
+    * int_cross_asset_commodity_signals.sql:14-80): returns
+    * (beta, alpha, residual). */
+  def rollingOls(y: Column, x: Column, w: WindowSpec, n: Int): (Column, Column, Column) = {
+    val f    = trailing(w, n)
+    val mx   = avg(x).over(f)
+    val my   = avg(y).over(f)
+    val mxy  = avg(x * y).over(f)
+    val mxx  = avg(x * x).over(f)
+    val beta = safeDivide(mxy - mx * my, mxx - mx * mx)
+    val a    = my - beta * mx
+    val res  = y - (a + beta * x)
+    (beta, a, res)
+  }
+}

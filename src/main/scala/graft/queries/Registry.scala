@@ -1,0 +1,12 @@
+package graft.queries
+
+/** All declared engine queries. Batches are appended as operator
+  * classes come online; names must stay stable across rounds (they key
+  * the driver's correctness report).
+  */
+object Registry {
+  val all: Seq[QueryDef] =
+    RelationalQueries.defs ++ WindowQueries.defs
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracle parity.
+
+Mimics the driver's t2 gate: run graft.Verify at a given SF, then run
+each oracle SQL in DuckDB over the same parquet tables and compare
+(sort columns by name, sort rows, exact value equality).
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+(assumes Verify has already written outputs to the outDir)
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int widths incl. nullable
+        elif df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) == 0 or type(sample.iloc[0]).__name__ in ("date", "datetime", "Timestamp"):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name, spark_df, duck_df):
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+    if len(spark_df) != len(duck_df):
+        return f"ROWCOUNT MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
+    a, b = normalize(spark_df), normalize(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            bad = ~((av.isna() & bv.isna()) | (av == bv))
+            if bad.any():
+                i = bad.idxmax()
+                diff = (av - bv).abs().max()
+                return f"VALUE MISMATCH col={c} row={i} spark={av[i]!r} duck={bv[i]!r} maxabsdiff={diff}"
+        else:
+            bad = ~(((av.isna()) & (bv.isna())) | (av.astype(str) == bv.astype(str)))
+            if bad.any():
+                i = bad.idxmax()
+                return f"VALUE MISMATCH col={c} row={i} spark={av[i]!r} duck={bv[i]!r}"
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        pdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {pdir}")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            duck_df = con.execute(sql).df()
+            err = compare(name, spark_df, duck_df)
+        except Exception as e:
+            err = f"EXCEPTION {type(e).__name__}: {e}"
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
