@@ -40,17 +40,29 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Sign-random-projection bucket id from `planes` hyperplanes.
-    * Hyperplane p's component d is a deterministic pseudo-random value
-    * in [-0.5, 0.5) derived from md5(p:d) — engine-portable, no RNG
-    * state. Vectors in the same bucket are cosine-close candidates. */
-  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val dot = (0 until dim)
-        .map { d =>
-          val h = conv(substring(md5(lit(s"$p:$d")), 1, 6), 16, 10).cast("double")
-          element_at(vec, d + 1) * (h / lit(16777216.0) - 0.5)
-        }
+  /** Deterministic pseudo-random hyperplanes for sign-random-projection:
+    * component (p, d) is md5("p:d")'s first 24 bits mapped to
+    * [-0.5, 0.5). Generated driver-side once (data-independent), so an
+    * external oracle can inline the identical literals. */
+  def hyperplanes(dim: Int, planes: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        val digest = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(s"$p:$d".getBytes("UTF-8"))
+        val hex = digest.take(3).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 - 0.5
+      }.toSeq
+    }
+
+  /** Sign-random-projection bucket id: bit p = sign of dot(vec, H_p).
+    * Dot products are left-associated sums of double products so an
+    * external SQL oracle reproduces them bit-for-bit. Vectors in the
+    * same bucket are cosine-close candidates. */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (h, p) =>
+      val dot = h.zipWithIndex
+        .map { case (w, d) => element_at(vec, d + 1).cast("double") * lit(w) }
         .reduce(_ + _)
       when(dot >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
     }
@@ -64,12 +76,11 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       query: DataFrame,
-      dim: Int,
-      planes: Int,
+      planes: Seq[Seq[Double]],
       k: Int
   ): DataFrame = {
-    val bucketed = corpus.withColumn("__bucket", srpBucket(toDouble(col(vecCol)), dim, planes))
-    val q        = query.withColumn("__bucket", srpBucket(col("qvec"), dim, planes))
+    val bucketed = corpus.withColumn("__bucket", srpBucket(col(vecCol), planes))
+    val q        = query.withColumn("__bucket", srpBucket(col("qvec"), planes))
     bucketed
       .join(broadcast(q), Seq("__bucket"))
       .select(
@@ -87,13 +98,14 @@ object SimilarityOps {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      dim: Int,
-      planes: Int,
+      planes: Seq[Seq[Double]],
       minSim: Double
   ): DataFrame = {
     val bucketed = corpus
-      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("__bucket", srpBucket(col("v"), dim, planes))
+      .select(col(idCol).as("id"), col(vecCol).as("__raw"))
+      .withColumn("__bucket", srpBucket(col("__raw"), planes))
+      .withColumn("v", toDouble(col("__raw")))
+      .drop("__raw")
     val a = bucketed.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = bucketed.select(col("__bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("__bucket"))

@@ -58,21 +58,19 @@ object TextOps {
     round((lenScore + distinctR + atlScore) / 3.0, 4)
   }
 
-  /** Language-ID by stopword-list voting: score per language =
-    * fraction of tokens in that language's marker list; argmax wins,
-    * "und" when every score is zero. Lists are caller-supplied
-    * (langCode -> markers). */
+  /** Language-ID by marker-list voting: score per language = count of
+    * tokens in that language's marker list (duplicates counted; all
+    * candidates share the doc's token count, so hit-count order equals
+    * hit-ratio order). Argmax wins, ties broken by lexicographically
+    * greatest language code, "und" when every score is zero. */
   def langIdHeuristic(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val t = tokens(text)
     val scored = markers.map { case (langCode, words) =>
       val hits = size(filter(t, tok => words.map(w => tok === lit(w)).reduce(_ || _)))
-      struct(
-        (hits.cast("double") / when(size(t) > 0, size(t)).otherwise(1)).as("score"),
-        lit(langCode).as("lang")
-      )
+      struct(hits.as("hits"), lit(langCode).as("lang"))
     }
     val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
   /** Normalized document fingerprint: md5 over the sorted distinct

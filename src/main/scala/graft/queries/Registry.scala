@@ -6,7 +6,8 @@ package graft.queries
   */
 object Registry {
   val all: Seq[QueryDef] =
-    RelationalQueries.defs ++ WindowQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++
+      TimeSeriesQueries.defs ++ TextQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

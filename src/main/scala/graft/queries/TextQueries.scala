@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.runtime.Tables
+import graft.queries.QueryDef.r4
+
+/** Training-data pipeline surface (SURVEY.md §2.L + the large-scale
+  * extensions): exact/near dedup (hash, MinHash+LSH, SimHash, n-gram
+  * Jaccard), text quality/language/token analysis, and similarity
+  * search over embeddings (brute-force + SRP-bucketed cosine).
+  *
+  * Oracle parity notes: all hashing is md5-hex (identical in DuckDB);
+  * SimHash bits come from hex-digit high bits; SRP hyperplanes are
+  * generated driver-side and inlined into both plans as literals; all
+  * similarity ratios are exact integer ratios or left-associated
+  * double folds.
+  */
+object TextQueries {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  private val tokSql =
+    """toks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t,
+             text
+      FROM documents
+    )"""
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "generic" -> Seq("the", "a"),
+    "storage" -> Seq("scan", "merge", "hash", "batch"),
+    "querying" -> Seq("join", "filter", "window", "group", "agg")
+  )
+
+  val defs: Seq[QueryDef] = Seq(
+    // Exact dedup by content digest (content_hash idiom,
+    // document_extraction/models/sec_document_registry.yml)
+    QueryDef(
+      "q_dedup_exact_hash",
+      (s, dir) =>
+        DedupOps.exactDupGroups(T(s, dir).documents, "doc_id", "text"),
+      Some("""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+      """)
+    ),
+    // Fuzzy-exact dedup on normalized fingerprints (sorted distinct
+    // token set) — groups word-order/duplication variants.
+    QueryDef(
+      "q_fingerprint_dedup_groups",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        d.groupBy(TextOps.normalizedFingerprint(col("text")).as("fingerprint"))
+          .agg(
+            min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_docs"),
+            concat_ws(",", array_sort(collect_list(col("doc_id").cast("string")))).as("members")
+          )
+          .filter(col("n_docs") > 1)
+      },
+      Some(s"""
+        WITH $tokSql
+        SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+          MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
+          STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+        FROM toks
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+      """)
+    ),
+    // Per-document quality/statistics features (length bands, token
+    // mix, punctuation) — training-data quality scoring.
+    QueryDef(
+      "q_text_quality_stats",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        d.select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.charCount(col("text")).as("n_chars"),
+          TextOps.estBpeTokens(col("text")).as("est_bpe_tokens"),
+          r4(TextOps.avgTokenLen(col("text"))).as("avg_token_len"),
+          TextOps.qualityScore(col("text")).as("quality_score")
+        )
+      },
+      Some(s"""
+        WITH $tokSql
+        SELECT doc_id,
+          CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(text) AS BIGINT) AS n_chars,
+          CAST(GREATEST(len(t), CAST(CEIL(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens,
+          ROUND(CASE WHEN len(t) > 0
+                THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t) END, 4) AS avg_token_len,
+          ROUND(((CASE WHEN len(text) BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN len(text) < 100 THEN len(text) / 100.0
+                       ELSE 0.5 END)
+               + (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE) ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN len(t) > 0
+                             THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t)
+                             ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 4)
+            AS quality_score
+        FROM toks
+      """)
+    ),
+    // Language-ID heuristic by marker voting; ties -> lexicographically
+    // greatest candidate, zero hits -> 'und'.
+    QueryDef(
+      "q_lang_id_heuristic",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        d.select(
+          col("doc_id"),
+          col("lang"),
+          TextOps.langIdHeuristic(col("text"), langMarkers).as("lang_pred")
+        )
+      },
+      Some {
+        val scoreRows = langMarkers
+          .map { case (cand, words) =>
+            val cond = words.map(w => s"x = '$w'").mkString(" OR ")
+            s"SELECT doc_id, lang, '$cand' AS cand, len(list_filter(t, x -> $cond)) AS hits FROM toks"
+          }
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH $tokSql,
+        scores AS (
+          $scoreRows
+        ),
+        best AS (SELECT doc_id, MAX(hits) AS m FROM scores GROUP BY doc_id),
+        pred AS (
+          SELECT s.doc_id, MAX(s.cand) AS pred_cand, MAX(s.hits) AS pred_hits
+          FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.hits = b.m
+          GROUP BY s.doc_id
+        )
+        SELECT t.doc_id, t.lang,
+          CASE WHEN p.pred_hits > 0 THEN p.pred_cand ELSE 'und' END AS lang_pred
+        FROM toks t JOIN pred p ON t.doc_id = p.doc_id
+      """
+      }
+    ),
+    // Token statistics rollup per (lang, source)
+    QueryDef(
+      "q_token_stats_by_lang",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        d.select(
+          col("lang"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.charCount(col("text")).as("n_chars"),
+          TextOps.estBpeTokens(col("text")).as("est_bpe")
+        ).groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("est_bpe")).as("total_est_bpe"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")
+          )
+      },
+      Some(s"""
+        WITH $tokSql
+        SELECT lang, source, COUNT(*) AS n_docs,
+          CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+          CAST(SUM(GREATEST(len(t), CAST(CEIL(len(text) / 4.0) AS BIGINT))) AS BIGINT) AS total_est_bpe,
+          CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM toks
+        GROUP BY 1, 2
+      """)
+    ),
+    // MinHash + LSH near-duplicate pairs with exact Jaccard verify
+    // (one band of 4 signatures; md5-based, engine-portable)
+    QueryDef(
+      "q_minhash_neardup_pairs",
+      (s, dir) =>
+        DedupOps
+          .nearDupPairs(T(s, dir).documents, "doc_id", "text",
+            shingleN = 3, numSigs = 4, rowsPerBand = 4, minJaccard = 0.2)
+          .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard")),
+      Some(s"""
+        WITH $tokSql,
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3
+        ),
+        sig AS (
+          SELECT doc_id, s,
+            list_min(list_transform(s, x -> md5('0:' || x))) || '|' ||
+            list_min(list_transform(s, x -> md5('1:' || x))) || '|' ||
+            list_min(list_transform(s, x -> md5('2:' || x))) || '|' ||
+            list_min(list_transform(s, x -> md5('3:' || x))) AS bucket
+          FROM sh
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+          ROUND(CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+                / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))), 4)
+            AS jaccard
+        FROM pairs
+        WHERE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+              / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) >= 0.2
+      """)
+    ),
+    // 16-bit SimHash from md5 hex-digit high bits
+    QueryDef(
+      "q_simhash_docs",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        d.select(
+          col("doc_id"),
+          DedupOps.simhash16(DedupOps.tokens(col("text"))).cast("long").as("simhash")
+        )
+      },
+      Some {
+        val votes = (0 until 16)
+          .map { j =>
+            s"""list_sum(list_transform(t, x -> CASE WHEN substr(md5(x), ${j + 1}, 1)
+             IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) AS v$j"""
+          }
+          .mkString(",\n          ")
+        val bits = (0 until 16)
+          .map(j => s"(CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH $tokSql,
+        votes AS (
+          SELECT doc_id,
+          $votes
+          FROM toks
+        )
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes
+      """
+      }
+    ),
+    // Brute-force cosine top-k against a fixed query vector
+    // (semantic_search.py ML.DISTANCE COSINE idiom)
+    QueryDef(
+      "q_ann_cosine_topk",
+      (s, dir) => {
+        val e     = T(s, dir).embeddings
+        val query = e.filter(col("vec_id") === 0).select(SimilarityOps.toDouble(col("embedding")).as("qvec"))
+        val sim = cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), r4(sim).as("cosine_sim"))
+          .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id <> 0),
+        sims AS (
+          SELECT vec_id,
+            list_sum(list_transform(range(1, len(e)+1), i -> CAST(e[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+            / NULLIF(SQRT(list_sum(list_transform(range(1, len(e)+1), i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))))
+              * SQRT(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))), 0) AS cs
+          FROM c, q
+        )
+        SELECT vec_id, ROUND(cs, 4) AS cosine_sim
+        FROM sims
+        ORDER BY ROUND(cs, 4) DESC, vec_id ASC
+        LIMIT 10
+      """)
+    ),
+    // SRP-bucketed embedding near-dup pairs (LSH for cosine): the
+    // 100 TB scale path — pairs only form inside a bucket.
+    QueryDef(
+      "q_embedding_neardup_pairs",
+      (s, dir) => {
+        val planes = SimilarityOps.hyperplanes(64, 3)
+        SimilarityOps
+          .cosineNearDupPairs(T(s, dir).embeddings, "vec_id", "embedding", planes, 0.2)
+          .select(col("id_a"), col("id_b"), r4(col("cosine_sim")).as("cosine_sim"))
+      },
+      Some {
+        val planes = SimilarityOps.hyperplanes(64, 3)
+        def dotSql(vec: String, p: Seq[Double]): String =
+          p.zipWithIndex
+            .map { case (w, d) => s"CAST($vec[${d + 1}] AS DOUBLE) * ($w)" }
+            .mkString(" + ")
+        def bucketSql(vec: String): String =
+          planes.zipWithIndex
+            .map { case (p, i) =>
+              s"(CASE WHEN ${dotSql(vec, p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+            }
+            .mkString(" + ")
+        s"""
+        WITH b AS (
+          SELECT vec_id, embedding AS e, ${bucketSql("embedding")} AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.e AS ea, y.e AS eb
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        ),
+        sims AS (
+          SELECT id_a, id_b,
+            list_sum(list_transform(range(1, len(ea)+1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+            / NULLIF(SQRT(list_sum(list_transform(range(1, len(ea)+1), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+              * SQRT(list_sum(list_transform(range(1, len(eb)+1), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))), 0) AS cs
+          FROM pairs
+        )
+        SELECT id_a, id_b, ROUND(cs, 4) AS cosine_sim
+        FROM sims WHERE cs >= 0.2
+      """
+      }
+    )
+  )
+}
