@@ -3,7 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.models.TechnicalIndicators
+import graft.operators.CorporateActions
 import graft.runtime.Tables
 import graft.queries.QueryDef.{dsum, r4}
 
@@ -174,6 +177,92 @@ object ModelQueries {
           ROUND(CASE WHEN bars_available >= 60 THEN zscore60 END, 4) AS zscore60
         FROM s5
       """)
+    ),
+    // Corporate actions + split adjustment (SURVEY §2.I): heuristic
+    // ratio detection UNION synthetic API events -> banded ±5-day
+    // dedup -> cumulative FUTURE split factor adjustment.
+    QueryDef(
+      "q_split_adjusted_prices",
+      (s, dir) => {
+        val b    = bars(s, dir)
+        val wVol = Window.partitionBy(col("symbol")).orderBy(col("volume").desc, col("d"))
+        val api = b
+          .withColumn("rn", row_number().over(wVol))
+          .filter(col("rn") <= 3)
+          .select(col("symbol"), col("d"), lit(2.0).as("split_factor"), lit("api").as("source"))
+        // Powers-of-two factors only (target 0.5 -> factor 2), tight
+        // tolerance: keeps the cumulative product an exact 2^k so the
+        // adjusted prices are bit-identical across engines.
+        val heur = CorporateActions.detectHeuristicSplits(
+          b, Seq("symbol"), "d", targets = Seq(0.5), tolerance = 0.02)
+        val deduped = CorporateActions.dedupeEvents(
+          api.unionByName(heur),
+          Seq("symbol"), "d", 5,
+          Map("api" -> 0, "heuristic" -> 1)
+        )
+        CorporateActions
+          .applySplitAdjustment(b, deduped, Seq("symbol"), "d")
+          // adj_* stay unrounded: cum_future_factor is snapped to the
+          // exact split product, so close/cum is bit-identical across
+          // engines (rounding it could split a half-boundary).
+          .select(
+            col("symbol"), col("d"), col("close"), col("volume"), col("split_factor"),
+            col("cum_future_factor"),
+            col("adj_close"),
+            col("adj_volume")
+          )
+      },
+      Some {
+        val heurCase = Seq(0.5)
+          .map(r => s"WHEN ABS(ratio - ($r)) <= (${0.02 * r}) THEN (${1.0 / r})")
+          .mkString("\n              ")
+        s"""
+        WITH $barsSql,
+        api AS (
+          SELECT symbol, d, 2.0 AS split_factor, 0 AS src_rank FROM (
+            SELECT symbol, d, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY volume DESC, d) AS rn
+            FROM bars
+          ) WHERE rn <= 3
+        ),
+        heur AS (
+          SELECT symbol, d,
+            CASE $heurCase END AS split_factor,
+            1 AS src_rank
+          FROM (
+            SELECT symbol, d, open / LAG(close, 1) OVER (PARTITION BY symbol ORDER BY d) AS ratio
+            FROM bars
+          )
+          WHERE CASE $heurCase END IS NOT NULL
+        ),
+        events AS (SELECT * FROM api UNION ALL SELECT * FROM heur),
+        deduped AS (
+          SELECT symbol, d, split_factor FROM events l
+          WHERE NOT EXISTS (
+            SELECT 1 FROM events r
+            WHERE r.symbol = l.symbol AND ABS(l.d - r.d) <= 5
+              AND (r.src_rank < l.src_rank
+                   OR (r.src_rank = l.src_rank AND r.d < l.d)
+                   OR (r.src_rank = l.src_rank AND r.d = l.d AND r.split_factor > l.split_factor))
+          )
+        ),
+        joined AS (
+          SELECT b.symbol, b.d, b.close, b.volume, e.split_factor
+          FROM bars b LEFT JOIN deduped e ON b.symbol = e.symbol AND b.d = e.d
+        ),
+        cumd AS (
+          SELECT *,
+            ROUND(COALESCE(EXP(SUM(LN(COALESCE(split_factor, 1.0)))
+              OVER (PARTITION BY symbol ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)), 1.0), 6)
+              AS cum_future_factor
+          FROM joined
+        )
+        SELECT symbol, d, close, volume, split_factor,
+          cum_future_factor,
+          close / cum_future_factor AS adj_close,
+          volume * cum_future_factor AS adj_volume
+        FROM cumd
+      """
+      }
     )
   )
 }
