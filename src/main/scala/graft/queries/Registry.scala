@@ -7,7 +7,8 @@ package graft.queries
 object Registry {
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++ WindowQueries.defs ++
-      TimeSeriesQueries.defs ++ TextQueries.defs ++ ModelQueries.defs
+      TimeSeriesQueries.defs ++ TextQueries.defs ++ ModelQueries.defs ++
+      SignalQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
