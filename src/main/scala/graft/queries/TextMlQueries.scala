@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.SimilarityOps
+import graft.runtime.Tables
+import graft.textml.TextML
+import graft.queries.QueryDef.r4
+
+/** Document-ML queries (SURVEY.md §2.L): chunking (full oracle),
+  * TF-IDF / KMeans / LDA (seeded Spark ML, rows-only checks), and
+  * hybrid vector+keyword search (full oracle).
+  */
+object TextMlQueries {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+    // Overlapping character chunking, content-addressed ids
+    QueryDef(
+      "q_document_chunks",
+      (s, dir) =>
+        TextML.chunkDocumentsFlat(T(s, dir).documents, "doc_id", "text", chunkSize = 200, overlap = 50),
+      Some("""
+        WITH n AS (
+          SELECT doc_id, text,
+            GREATEST(CAST(CEIL((LENGTH(text) - 50) / 150.0) AS INT), 1) AS n_chunks
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(i AS BIGINT) AS chunk_index,
+          CAST(i * 150 AS BIGINT) AS chunk_offset,
+          SUBSTR(text, i * 150 + 1, 200) AS chunk_text,
+          md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i * 150 AS VARCHAR)) AS chunk_id
+        FROM n, UNNEST(RANGE(0, n_chunks)) AS t(i)
+      """)
+    ),
+    // TF-IDF top terms per document (seeded pipeline; rows-only)
+    QueryDef(
+      "q_tfidf_top_terms",
+      (s, dir) => {
+        val (withTfidf, vocab) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
+        TextML
+          .topTerms(withTfidf, "doc_id", vocab, k = 5)
+          .select(col("doc_id"), col("term"), r4(col("score")).as("score"))
+      },
+      None
+    ),
+    // KMeans document clusters over normalized TF-IDF (rows-only)
+    QueryDef(
+      "q_doc_clusters",
+      (s, dir) => {
+        val (withTfidf, _) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
+        TextML
+          .cluster(withTfidf, k = 8)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative_doc"))
+      },
+      None
+    ),
+    // LDA topic assignment counts (NMF stand-in; rows-only)
+    QueryDef(
+      "q_doc_topics",
+      (s, dir) => {
+        val (withTfidf, _) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
+        val withTopics     = TextML.topics(withTfidf, k = 8)
+        withTopics
+          .withColumn("dist", vector_to_array(col("topic_dist")))
+          .withColumn("topic_id", expr("array_position(dist, array_max(dist)) - 1").cast("long"))
+          .groupBy(col("topic_id"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      None
+    ),
+    // Hybrid search: keyword term-overlap + embedding cosine, fused
+    // (semantic_search.py:8-36 — vector + keyword since no BM25)
+    QueryDef(
+      "q_hybrid_search",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        val e = T(s, dir).embeddings
+        val queryTerms = Seq("spark", "join", "merge", "hash", "window")
+        val toks       = split(lower(col("text")), "\\s+")
+        val kwScore = queryTerms
+          .map(t => when(array_contains(toks, t), 1).otherwise(0))
+          .reduce(_ + _)
+        val qvec = e.filter(col("vec_id") === 0).select(SimilarityOps.toDouble(col("embedding")).as("qvec"))
+        d.join(e, col("doc_id") === col("vec_id"))
+          .crossJoin(broadcast(qvec))
+          .select(
+            col("doc_id"),
+            kwScore.cast("long").as("keyword_score"),
+            cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec")).as("cos_raw")
+          )
+          .select(
+            col("doc_id"), col("keyword_score"),
+            r4(col("cos_raw")).as("cosine_sim"),
+            r4(col("keyword_score") / lit(5.0) * 0.5 + col("cos_raw") * 0.5).as("hybrid_score")
+          )
+      },
+      Some("""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        base AS (
+          SELECT d.doc_id,
+            CAST((CASE WHEN list_contains(string_split_regex(lower(d.text), '\s+'), 'spark') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(string_split_regex(lower(d.text), '\s+'), 'join') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(string_split_regex(lower(d.text), '\s+'), 'merge') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(string_split_regex(lower(d.text), '\s+'), 'hash') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(string_split_regex(lower(d.text), '\s+'), 'window') THEN 1 ELSE 0 END) AS BIGINT)
+              AS keyword_score,
+            list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+            / NULLIF(SQRT(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * SQRT(list_sum(list_transform(range(1, len(q.qe)+1), i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 0) AS cos_raw
+          FROM documents d
+          JOIN embeddings e ON d.doc_id = e.vec_id, q
+        )
+        SELECT doc_id, keyword_score,
+          ROUND(cos_raw, 4) AS cosine_sim,
+          ROUND(keyword_score / 5.0 * 0.5 + cos_raw * 0.5, 4) AS hybrid_score
+        FROM base
+      """)
+    )
+  )
+}
