@@ -8,7 +8,7 @@ object Registry {
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++ WindowQueries.defs ++
       TimeSeriesQueries.defs ++ TextQueries.defs ++ ModelQueries.defs ++
-      SignalQueries.defs ++ TextMlQueries.defs
+      SignalQueries.defs ++ TextMlQueries.defs ++ InfraQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

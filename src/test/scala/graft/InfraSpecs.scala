@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.MultimodalOps
+import graft.runtime.{GraftSession, SqlGuard}
+import graft.streaming.StreamingIngest
+
+/** Specs for the SQL guard, streaming ingest, and multimodal batch
+  * plumbing — the surfaces without a DuckDB oracle.
+  */
+class InfraSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.get(Some("local[2]"), 4)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("SqlGuard allows SELECT and CTE queries") {
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("guard_t")
+    assert(SqlGuard.readOnly(spark, "SELECT count(*) AS n FROM guard_t").as[Long].head() == 2L)
+    assert(
+      SqlGuard.readOnly(spark, "WITH c AS (SELECT id FROM guard_t WHERE id > 1) SELECT * FROM c")
+        .count() == 1L
+    )
+  }
+
+  test("SqlGuard rejects mutating statements before execution") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("guard_t2")
+    val bad = Seq(
+      "DROP TABLE guard_t2",
+      "CREATE TABLE t AS SELECT 1",
+      "INSERT INTO guard_t2 VALUES (9, 'z')",
+      "TRUNCATE TABLE guard_t2"
+    )
+    bad.foreach { sql =>
+      intercept[SqlGuard.NonSelectStatementException](SqlGuard.readOnly(spark, sql))
+    }
+  }
+
+  test("streaming windowed counts (AvailableNow) match the batch plan") {
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val events = Seq(
+      ("2024-01-01 00:05:00", "click", 1.0),
+      ("2024-01-01 00:20:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 3.0),
+      ("2024-01-01 01:40:00", "click", 4.0)
+    ).toDF("ts_s", "event_type", "value")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream  = StreamingIngest.parquetStream(spark, dir, events.schema)
+    val windowed = StreamingIngest.windowedCounts(stream, "ts", "event_type", "1 hour", "2 hours")
+    val q = windowed.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("win_counts")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)]
+      .collect()
+      .toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 3.0),
+      ("2024-01-01 01:00:00", "click", 1L, 4.0)
+    ))
+  }
+
+  test("streaming mergeIngest is idempotent under redelivery") {
+    val src    = Files.createTempDirectory("graft_merge_src").toString
+    val target = Files.createTempDirectory("graft_merge_tgt").toString + "/tbl"
+    val cp1    = Files.createTempDirectory("graft_merge_cp1").toString
+    val cp2    = Files.createTempDirectory("graft_merge_cp2").toString
+
+    val batch1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+    batch1.write.mode("overwrite").parquet(src)
+    StreamingIngest
+      .mergeIngest(StreamingIngest.parquetStream(spark, src, batch1.schema), Seq("id"), "ver", target, cp1)
+      .start()
+      .awaitTermination(60000)
+    assert(spark.read.parquet(target).count() == 2)
+
+    // redeliver id=2 with a newer version + a new id, fresh checkpoint
+    Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("id", "v", "ver")
+      .write.mode("overwrite").parquet(src)
+    StreamingIngest
+      .mergeIngest(StreamingIngest.parquetStream(spark, src, batch1.schema), Seq("id"), "ver", target, cp2)
+      .start()
+      .awaitTermination(60000)
+    val rows = spark.read.parquet(target).as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 1L)))
+  }
+
+  test("multimodal batchedFeaturize emits deterministic stub features") {
+    val docs  = Seq((1L, "abcd", "s1"), (2L, "", "s2")).toDF("doc_id", "text", "source")
+    val media = MultimodalOps.fromText(docs, "doc_id", "text", "source")
+    val out = MultimodalOps
+      .batchedFeaturize(media, embDim = 4)
+      .select(col("media_id"), col("stub_embedding"), col("stub_brightness"))
+      .as[(Long, Seq[Float], Double)]
+      .collect()
+      .sortBy(_._1)
+    assert(out(0)._2 == Seq('a'.toInt / 255.0f, 'b'.toInt / 255.0f, 'c'.toInt / 255.0f, 'd'.toInt / 255.0f))
+    assert(math.abs(out(0)._3 - ('a'.toInt + 'b' + 'c' + 'd') / 4.0 / 255.0) < 1e-12)
+    assert(out(1)._2 == Seq(0.0f, 0.0f, 0.0f, 0.0f) && out(1)._3 == 0.0)
+  }
+}
