@@ -47,12 +47,29 @@ object DedupOps {
   def minhashSig(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
 
-  /** Attach k MinHash signature columns sig_0..sig_{k-1}. */
-  def withMinhash(df: DataFrame, textCol: String, shingleN: Int, k: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    (0 until k).foldLeft(df.withColumn("__sh", array_distinct(sh))) { (acc, j) =>
-      acc.withColumn(s"sig_$j", minhashSig(col("__sh"), j))
-    }
+  /** Attach k MinHash signature columns sig_0..sig_{k-1}.
+    * Signatures are computed by explode + codegen'd min-aggregates
+    * (one pass over the shingles) rather than k interpreted
+    * higher-order-function scans — the shuffle is by id, which the
+    * caller needs anyway for the LSH band join. */
+  def withMinhash(df: DataFrame, idCol: String, textCol: String, shingleN: Int, k: Int): DataFrame = {
+    // cache: the shingle arrays feed both the signature aggregation
+    // and the verify-side join; recomputing them doubles the tokenize
+    // + n-gram work
+    val base = df.withColumn("__sh", array_distinct(shingles(col(textCol), shingleN))).cache()
+    // One md5 per shingle; signature j is the min over the j-th
+    // 8-hex-char slice (slices of a cryptographic digest act as
+    // independent hash functions). k <= 4 for a 32-hex md5.
+    require(k <= 4, s"md5 slicing supports at most 4 signatures, got $k")
+    val sigs = base
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .select(col(idCol), md5(col("__s")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        min(substring(col("__h"), 1, 8)).as("sig_0"),
+        (1 until k).map(j => min(substring(col("__h"), 1 + 8 * j, 8)).as(s"sig_$j")): _*
+      )
+    base.join(sigs, Seq(idCol))
   }
 
   /** Exact Jaccard similarity of two distinct-shingle arrays. */
@@ -76,7 +93,7 @@ object DedupOps {
       rowsPerBand: Int,
       minJaccard: Double
   ): DataFrame = {
-    val signed  = withMinhash(df, textCol, shingleN, numSigs)
+    val signed  = withMinhash(df, idCol, textCol, shingleN, numSigs)
     val nBands  = numSigs / rowsPerBand
     val banded = signed.select(
       col(idCol).as("doc_id"),
@@ -93,9 +110,12 @@ object DedupOps {
         }: _*)
       ).as("bb")
     )
-    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("bb"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("bb"))
-    a.join(b, a("bb") === b("bb") && col("id_a") < col("id_b"))
+    // Rename bucket columns per side: joining a self-derived column
+    // by reference degenerates to a trivially-true predicate (cross
+    // join) — the bucket equality must be name-resolved per branch.
+    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("bb").as("bb_a"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("bb").as("bb_b"))
+    a.join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= minJaccard)

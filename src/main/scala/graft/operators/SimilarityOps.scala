@@ -101,16 +101,22 @@ object SimilarityOps {
       planes: Seq[Seq[Double]],
       minSim: Double
   ): DataFrame = {
+    // Norms are computed once per vector BEFORE the pair join: the
+    // O(pairs) work is then a single dot product per pair instead of
+    // three array folds.
     val bucketed = corpus
       .select(col(idCol).as("id"), col(vecCol).as("__raw"))
       .withColumn("__bucket", srpBucket(col("__raw"), planes))
       .withColumn("v", toDouble(col("__raw")))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
       .drop("__raw")
-    val a = bucketed.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("__bucket"), col("id").as("id_b"), col("v").as("vb"))
+    val a = bucketed.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = bucketed.select(col("__bucket"), col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (s, x) => s + x)
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosineSimilarity(col("va"), col("vb")).as("cosine_sim"))
+      .select(col("id_a"), col("id_b"),
+        when(col("na") * col("nb") =!= 0.0, dot / (col("na") * col("nb"))).as("cosine_sim"))
       .filter(col("cosine_sim") >= minSim)
       .distinct()
   }

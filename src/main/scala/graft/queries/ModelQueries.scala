@@ -184,7 +184,9 @@ object ModelQueries {
     QueryDef(
       "q_split_adjusted_prices",
       (s, dir) => {
-        val b    = bars(s, dir)
+        // bars feeds three branches (api events, heuristic detection,
+        // adjustment) — cache to avoid re-aggregating the fact table
+        val b    = bars(s, dir).cache()
         val wVol = Window.partitionBy(col("symbol")).orderBy(col("volume").desc, col("d"))
         val api = b
           .withColumn("rn", row_number().over(wVol))

@@ -190,10 +190,10 @@ object TextQueries {
         ),
         sig AS (
           SELECT doc_id, s,
-            list_min(list_transform(s, x -> md5('0:' || x))) || '|' ||
-            list_min(list_transform(s, x -> md5('1:' || x))) || '|' ||
-            list_min(list_transform(s, x -> md5('2:' || x))) || '|' ||
-            list_min(list_transform(s, x -> md5('3:' || x))) AS bucket
+            list_min(list_transform(s, x -> substr(md5(x), 1, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 9, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 17, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS bucket
           FROM sh
         ),
         pairs AS (

@@ -90,8 +90,11 @@ object TextML {
     val km = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__norm").setPredictionCol("cluster_id")
-    val normalized = norm.transform(withTfidf)
-    km.fit(normalized).transform(normalized).drop("__norm")
+    // cache: KMeans iterates over the features; without this every
+    // iteration re-runs the tokenize+CV+IDF lineage
+    val normalized = norm.transform(withTfidf).cache()
+    try km.fit(normalized).transform(normalized).drop("__norm")
+    finally normalized.unpersist(blocking = false)
   }
 
   /** Seeded LDA topics as the reference's NMF stand-in (ref
@@ -100,6 +103,8 @@ object TextML {
     val lda = new LDA()
       .setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("tfidf").setTopicDistributionCol("topic_dist")
-    lda.fit(withTf).transform(withTf)
+    val cached = withTf.cache()
+    try lda.fit(cached).transform(cached)
+    finally cached.unpersist(blocking = false)
   }
 }
