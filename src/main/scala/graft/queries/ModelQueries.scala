@@ -35,7 +35,8 @@ object ModelQueries {
       )
   }
 
-  private val barsSql = """
+  /** Shared bars CTE for oracle SQL (also used by MarketModelQueries). */
+  val barsSqlPublic: String = """
     bars AS (
       SELECT l_returnflag AS symbol, CAST(l_shipdate AS DATE) AS d,
         ROUND(MIN_BY(l_extendedprice, md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))), 4) AS open,
@@ -67,7 +68,7 @@ object ModelQueries {
         floatCols.foldLeft(out)((acc, c) => acc.withColumn(c, r4(col(c))))
       },
       Some(s"""
-        WITH $barsSql,
+        WITH $barsSqlPublic,
         s1 AS (
           SELECT symbol, d, open, high, low, close, volume,
             CAST(ROW_NUMBER() OVER wsym AS BIGINT) AS bars_available,
@@ -219,7 +220,7 @@ object ModelQueries {
           .map(r => s"WHEN ABS(ratio - ($r)) <= (${0.02 * r}) THEN (${1.0 / r})")
           .mkString("\n              ")
         s"""
-        WITH $barsSql,
+        WITH $barsSqlPublic,
         api AS (
           SELECT symbol, d, 2.0 AS split_factor, 0 AS src_rank FROM (
             SELECT symbol, d, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY volume DESC, d) AS rn

@@ -8,7 +8,8 @@ object Registry {
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++ WindowQueries.defs ++
       TimeSeriesQueries.defs ++ TextQueries.defs ++ ModelQueries.defs ++
-      SignalQueries.defs ++ TextMlQueries.defs ++ InfraQueries.defs
+      SignalQueries.defs ++ TextMlQueries.defs ++ InfraQueries.defs ++
+      MarketModelQueries.defs ++ BacktestQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
