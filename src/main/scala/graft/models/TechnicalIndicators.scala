@@ -117,8 +117,51 @@ object TechnicalIndicators {
       .withColumn("rel_volume", safeDivide(col("volume"), col("vol_sma20")))
       .withColumn("pct_off_52w_high", safeDivide(col("close") - col("high52w"), col("high52w")))
 
-    // ---- stage 3: EWMs over stage-2 columns (MACD signal, stoch %D)
-    val s4 = s3
+    // ---- stage 3: EWMs over stage-2 columns (MACD signal, stoch %D),
+    // directional movement (+DI/-DI/DX), CCI mean-abs-dev, MFI
+    val prevHigh = lag(col("high"), 1).over(w)
+    val prevLow  = lag(col("low"), 1).over(w)
+    val s3b = s3
+      .withColumn("plus_dm",
+        when(col("prev_close").isNotNull &&
+          (col("high") - prevHigh) > (prevLow - col("low")) && (col("high") - prevHigh) > 0,
+          col("high") - prevHigh).otherwise(when(col("prev_close").isNotNull, 0.0)))
+      .withColumn("minus_dm",
+        when(col("prev_close").isNotNull &&
+          (prevLow - col("low")) > (col("high") - prevHigh) && (prevLow - col("low")) > 0,
+          prevLow - col("low")).otherwise(when(col("prev_close").isNotNull, 0.0)))
+      .withColumn("tp", (col("high") + col("low") + col("close")) / 3.0)
+    val s3c = s3b
+      .withColumn("sm_plus_dm", WindowOps.ewm(col("plus_dm"), col("pos"), w, EwmWindow, alphaWilder))
+      .withColumn("sm_minus_dm", WindowOps.ewm(col("minus_dm"), col("pos"), w, EwmWindow, alphaWilder))
+      .withColumn("prev_tp", lag(col("tp"), 1).over(w))
+      .withColumn("sma_tp20",
+        sum(col("tp")).over(tw(20)) / count(col("tp")).over(tw(20)))
+      .withColumn("tp_arr", collect_list(col("tp")).over(tw(20)))
+      .withColumn("pos_mf",
+        when(col("tp") > col("prev_tp"), col("tp") * col("volume"))
+          .otherwise(when(col("prev_tp").isNotNull, 0.0)))
+      .withColumn("neg_mf",
+        when(col("tp") < col("prev_tp"), col("tp") * col("volume"))
+          .otherwise(when(col("prev_tp").isNotNull, 0.0)))
+    val s3d = s3c
+      .withColumn("plus_di", lit(100.0) * safeDivide(col("sm_plus_dm"), col("atr14")))
+      .withColumn("minus_di", lit(100.0) * safeDivide(col("sm_minus_dm"), col("atr14")))
+      .withColumn("mad20",
+        aggregate(col("tp_arr"), lit(0.0), (a, x) => a + abs(x - col("sma_tp20"))) /
+          size(col("tp_arr")))
+      .withColumn("cci20",
+        safeDivide(col("tp") - col("sma_tp20"), lit(0.015) * col("mad20")))
+      .withColumn("mf_ratio",
+        safeDivide(sum(col("pos_mf")).over(tw(14)), sum(col("neg_mf")).over(tw(14))))
+      .withColumn("mfi14",
+        when(sum(col("neg_mf")).over(tw(14)) === 0.0 && sum(col("pos_mf")).over(tw(14)).isNotNull, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("mf_ratio"))))
+    val s3e = s3d
+      .withColumn("dx",
+        lit(100.0) * safeDivide(abs(col("plus_di") - col("minus_di")), col("plus_di") + col("minus_di")))
+    val s4 = s3e
+      .withColumn("adx14", WindowOps.ewm(col("dx"), col("pos"), w, EwmWindow, alphaWilder))
       .withColumn("macd_signal", WindowOps.ewm(col("macd"), col("pos"), w, EwmWindow, 2.0 / 10.0))
       .withColumn("stoch_d", avg(col("stoch_k")).over(tw(3)))
       .withColumn("macd_hist", col("macd") - col("macd_signal"))
@@ -155,7 +198,12 @@ object TechnicalIndicators {
         gate(col("low52w"), 1).as("low52w") :+
         gate(col("pct_off_52w_high"), 1).as("pct_off_52w_high") :+
         gate(col("rel_volume"), 20).as("rel_volume") :+
-        gate(col("zscore60"), 60).as("zscore60")): _*
+        gate(col("zscore60"), 60).as("zscore60") :+
+        gate(col("plus_di"), 15).as("plus_di") :+
+        gate(col("minus_di"), 15).as("minus_di") :+
+        gate(col("adx14"), 15).as("adx14") :+
+        gate(col("cci20"), 20).as("cci20") :+
+        gate(col("mfi14"), 15).as("mfi14")): _*
     )
   }
 }

@@ -63,7 +63,8 @@ object ModelQueries {
           "rsi14", "boll_upper", "boll_lower", "pct_b", "bandwidth", "atr14",
           "natr14", "stoch_k", "stoch_d", "williams_r", "roc20", "obv",
           "donchian_high20", "donchian_low20", "high52w", "low52w",
-          "pct_off_52w_high", "rel_volume", "zscore60"
+          "pct_off_52w_high", "rel_volume", "zscore60",
+          "plus_di", "minus_di", "adx14", "cci20", "mfi14"
         )
         floatCols.foldLeft(out)((acc, c) => acc.withColumn(c, r4(col(c))))
       },
@@ -74,7 +75,9 @@ object ModelQueries {
             CAST(ROW_NUMBER() OVER wsym AS BIGINT) AS bars_available,
             CAST(ROW_NUMBER() OVER wsym AS DOUBLE) AS rn,
             LAG(close, 1) OVER wsym AS prev_close,
-            LAG(close, 20) OVER wsym AS close_20_ago
+            LAG(close, 20) OVER wsym AS close_20_ago,
+            LAG(high, 1) OVER wsym AS prev_high,
+            LAG(low, 1) OVER wsym AS prev_low
           FROM bars
           WINDOW wsym AS (PARTITION BY symbol ORDER BY d)
         ),
@@ -88,8 +91,24 @@ object ModelQueries {
               GREATEST(high - low, ABS(high - prev_close), ABS(low - prev_close)) END AS tr,
             CASE WHEN close > prev_close THEN volume
                  WHEN close < prev_close THEN -volume
-                 WHEN prev_close IS NOT NULL THEN 0.0 END AS obv_delta
+                 WHEN prev_close IS NOT NULL THEN 0.0 END AS obv_delta,
+            CASE WHEN prev_close IS NOT NULL AND (high - prev_high) > (prev_low - low)
+                      AND (high - prev_high) > 0 THEN high - prev_high
+                 WHEN prev_close IS NOT NULL THEN 0.0 END AS plus_dm,
+            CASE WHEN prev_close IS NOT NULL AND (prev_low - low) > (high - prev_high)
+                      AND (prev_low - low) > 0 THEN prev_low - low
+                 WHEN prev_close IS NOT NULL THEN 0.0 END AS minus_dm,
+            (high + low + close) / 3.0 AS tp
           FROM s1
+        ),
+        s2b AS (
+          SELECT *,
+            CASE WHEN tp > LAG(tp, 1) OVER wsym THEN tp * volume
+                 WHEN LAG(tp, 1) OVER wsym IS NOT NULL THEN 0.0 END AS pos_mf,
+            CASE WHEN tp < LAG(tp, 1) OVER wsym THEN tp * volume
+                 WHEN LAG(tp, 1) OVER wsym IS NOT NULL THEN 0.0 END AS neg_mf
+          FROM s2
+          WINDOW wsym AS (PARTITION BY symbol ORDER BY d)
         ),
         s3 AS (
           SELECT symbol, d, open, high, low, close, volume, bars_available, rn,
@@ -110,8 +129,15 @@ object ModelQueries {
             MAX(high) OVER wr52 AS high52w,
             MIN(low) OVER wr52 AS low52w,
             CAST(SUM(CAST(obv_delta AS DECIMAL(18,4))) OVER cum AS DOUBLE) AS obv,
-            (close - AVG(close) OVER w60x) / NULLIF(STDDEV_SAMP(close) OVER w60x, 0) AS zscore60
-          FROM s2
+            (close - AVG(close) OVER w60x) / NULLIF(STDDEV_SAMP(close) OVER w60x, 0) AS zscore60,
+            ${ewmSql("plus_dm", "(1.0 - 1.0/14.0)")} AS sm_plus_dm,
+            ${ewmSql("minus_dm", "(1.0 - 1.0/14.0)")} AS sm_minus_dm,
+            SUM(tp) OVER w20 / COUNT(tp) OVER w20 AS sma_tp20,
+            ARRAY_AGG(tp) OVER w20 AS tp_arr,
+            SUM(pos_mf) OVER w14 AS mf_pos_sum,
+            SUM(neg_mf) OVER w14 AS mf_neg_sum,
+            tp
+          FROM s2b
           WINDOW
             w60 AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
             w60x AS (PARTITION BY symbol ORDER BY d ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
@@ -135,14 +161,29 @@ object ModelQueries {
             100.0 * (CASE WHEN close <> 0 THEN atr14 / close END) AS natr14,
             100.0 * (CASE WHEN close_20_ago <> 0 THEN (close - close_20_ago) / close_20_ago END) AS roc20,
             (CASE WHEN vol_sma20 <> 0 THEN volume / vol_sma20 END) AS rel_volume,
-            (CASE WHEN high52w <> 0 THEN (close - high52w) / high52w END) AS pct_off_52w_high
+            (CASE WHEN high52w <> 0 THEN (close - high52w) / high52w END) AS pct_off_52w_high,
+            100.0 * (CASE WHEN atr14 <> 0 AND atr14 IS NOT NULL THEN sm_plus_dm / atr14 END) AS plus_di,
+            100.0 * (CASE WHEN atr14 <> 0 AND atr14 IS NOT NULL THEN sm_minus_dm / atr14 END) AS minus_di,
+            list_sum(list_transform(tp_arr, x -> ABS(x - sma_tp20))) / len(tp_arr) AS mad20,
+            (CASE WHEN mf_neg_sum = 0.0 AND mf_pos_sum IS NOT NULL THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + (CASE WHEN mf_neg_sum <> 0 AND mf_neg_sum IS NOT NULL
+                                               THEN mf_pos_sum / mf_neg_sum END)) END) AS mfi14
           FROM s3
+        ),
+        s4b AS (
+          SELECT *,
+            (CASE WHEN 0.015 * mad20 <> 0 AND mad20 IS NOT NULL
+                  THEN (tp - sma_tp20) / (0.015 * mad20) END) AS cci20,
+            100.0 * (CASE WHEN plus_di + minus_di <> 0 AND plus_di + minus_di IS NOT NULL
+                          THEN ABS(plus_di - minus_di) / (plus_di + minus_di) END) AS dx
+          FROM s4
         ),
         s5 AS (
           SELECT *,
             ${ewmSql("macd", "(1.0 - 2.0/10.0)")} AS macd_signal,
+            ${ewmSql("dx", "(1.0 - 1.0/14.0)")} AS adx14,
             AVG(stoch_k) OVER w3 AS stoch_d
-          FROM s4
+          FROM s4b
           WINDOW
             w60 AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
             w3 AS (PARTITION BY symbol ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -175,7 +216,12 @@ object ModelQueries {
           ROUND(low52w, 4) AS low52w,
           ROUND(pct_off_52w_high, 4) AS pct_off_52w_high,
           ROUND(CASE WHEN bars_available >= 20 THEN rel_volume END, 4) AS rel_volume,
-          ROUND(CASE WHEN bars_available >= 60 THEN zscore60 END, 4) AS zscore60
+          ROUND(CASE WHEN bars_available >= 60 THEN zscore60 END, 4) AS zscore60,
+          ROUND(CASE WHEN bars_available >= 15 THEN plus_di END, 4) AS plus_di,
+          ROUND(CASE WHEN bars_available >= 15 THEN minus_di END, 4) AS minus_di,
+          ROUND(CASE WHEN bars_available >= 15 THEN adx14 END, 4) AS adx14,
+          ROUND(CASE WHEN bars_available >= 20 THEN cci20 END, 4) AS cci20,
+          ROUND(CASE WHEN bars_available >= 15 THEN mfi14 END, 4) AS mfi14
         FROM s5
       """)
     ),
