@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.SimilarityOps
+import graft.runtime.Tables
+import graft.queries.QueryDef.r4
+
+/** Semantic-layer data-coverage checks and the IVF ANN scale path. */
+object CoverageQueries {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+    // STRUCT-literal source-spec table x freshness checks
+    // (semantic_layer/current_data_coverage.sql:4-12 — inline
+    // UNNEST([STRUCT(...)]) lookup tables + staleness cutoffs).
+    QueryDef(
+      "q_data_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val t = T(s, dir)
+        val spec = Seq(
+          ("orders", "o_orderdate", 30),
+          ("lineitem", "l_shipdate", 30),
+          ("events", "ts", 7)
+        ).toDF("table_name", "date_column", "staleness_days")
+        val perTable = t.orders
+          .agg(lit("orders").as("table_name"), count(lit(1)).as("n_rows"),
+            max(to_date(col("o_orderdate"))).as("max_date"))
+          .unionByName(
+            t.lineitem.agg(lit("lineitem").as("table_name"), count(lit(1)).as("n_rows"),
+              max(to_date(col("l_shipdate"))).as("max_date")))
+          .unionByName(
+            t.events.agg(lit("events").as("table_name"), count(lit(1)).as("n_rows"),
+              max(to_date(col("ts"))).as("max_date")))
+        val asOf = perTable.agg(max(col("max_date")).as("as_of")).select(col("as_of"))
+        perTable
+          .join(broadcast(spec), Seq("table_name"))
+          .crossJoin(broadcast(asOf))
+          .select(
+            col("table_name"), col("n_rows"), col("max_date"),
+            col("staleness_days").cast("long").as("staleness_days"),
+            datediff(col("as_of"), col("max_date")).cast("long").as("days_stale"),
+            (datediff(col("as_of"), col("max_date")) > col("staleness_days")).as("is_stale")
+          )
+      },
+      Some("""
+        WITH per_table AS (
+          SELECT 'orders' AS table_name, COUNT(*) AS n_rows, MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+          UNION ALL
+          SELECT 'lineitem', COUNT(*), MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+          UNION ALL
+          SELECT 'events', COUNT(*), MAX(CAST(ts AS DATE)) FROM events
+        ),
+        spec AS (
+          SELECT * FROM (VALUES ('orders', 'o_orderdate', 30),
+                                ('lineitem', 'l_shipdate', 30),
+                                ('events', 'ts', 7)) AS t(table_name, date_column, staleness_days)
+        ),
+        aod AS (SELECT MAX(max_date) AS as_of FROM per_table)
+        SELECT p.table_name, p.n_rows, p.max_date,
+          CAST(s.staleness_days AS BIGINT) AS staleness_days,
+          CAST(a.as_of - p.max_date AS BIGINT) AS days_stale,
+          (a.as_of - p.max_date) > s.staleness_days AS is_stale
+        FROM per_table p JOIN spec s ON p.table_name = s.table_name, aod a
+      """)
+    ),
+    // IVF-style ANN: coarse KMeans centroids, probe the query's
+    // nearest cell, exact cosine within it — the 100 TB scale path
+    // where brute force is off the table. Rows-only (seeded KMeans).
+    QueryDef(
+      "q_ann_ivf_topk",
+      (s, dir) => {
+        val e = T(s, dir).embeddings
+        val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+        val withVec = e.withColumn("features", toVec(col("embedding")))
+        val km      = new KMeans().setK(8).setSeed(42L).setMaxIter(10).setFeaturesCol("features").setPredictionCol("cell")
+        val model   = km.fit(withVec.select("features").cache())
+        val assigned = model.transform(withVec)
+        val queryCell = assigned.filter(col("vec_id") === 0)
+          .select(col("cell").as("qcell"), SimilarityOps.toDouble(col("embedding")).as("qvec"))
+        assigned
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(queryCell), col("cell") === col("qcell"))
+          .select(col("vec_id"),
+            r4(cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec"))).as("cosine_sim"))
+          .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      None
+    )
+  )
+}
