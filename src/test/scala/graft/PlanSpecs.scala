@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.runtime.GraftSession
+
+/** Physical-plan quality gates: these are the properties that keep the
+  * engine fast at 100 TB, asserted so a regression is a test failure,
+  * not a silent slowdown.
+  */
+class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.get(Some("local[2]"), 4)
+  private val dir              = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Formatted explain — full (untruncated) scan details. */
+  private def formattedPlan(name: String): String =
+    SparkEntry
+      .queries(name)(spark, dir)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("selective scan pushes every predicate into the parquet reader") {
+    val plan = formattedPlan("q_filter_project_revenue")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filters must reach the scan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "range predicate must push down")
+  }
+
+  test("scan prunes to referenced columns only") {
+    val plan = formattedPlan("q_filter_project_revenue")
+    // ReadSchema must not include unreferenced wide columns
+    assert(!plan.contains("l_returnflag"), "unused column must be pruned from the scan")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val plan = executedPlan("q_join_star_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "nation/region joins must be broadcast, not shuffled")
+    assert(!plan.contains("SortMergeJoin"), "no sort-merge join for broadcast-sized dims")
+  }
+
+  test("stacked TA windows share one instrument exchange (no shuffle per indicator)") {
+    val plan = executedPlan("q_ta_indicator_daily")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"TA suite must not shuffle per window family; saw $exchanges hash exchanges")
+  }
+
+  test("aggregations plan partial (map-side) combines") {
+    val plan = executedPlan("q_agg_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "group-by must use partial aggregation before the exchange")
+  }
+
+  test("minhash LSH band join is a hash join on the bucket key, never a cross join") {
+    val plan = executedPlan("q_minhash_neardup_pairs")
+    assert(!plan.contains("CartesianProduct"), "LSH candidate join degenerated to cross join")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{CorporateActions, SinkOps, TimeSeriesOps, WindowOps}
+import graft.runtime.GraftSession
+
+/** Algebraic property tests (SURVEY.md §5): EWM weight normalization,
+  * split-adjustment round-trip, interpolation idempotence, merge
+  * idempotence — checked over seeded generated inputs.
+  */
+class PropertySpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.get(Some("local[2]"), 4)
+  import spark.implicits._
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rng = new scala.util.Random(42)
+
+  test("EWM of a constant series equals the constant (weight normalization)") {
+    for (trial <- 1 to 5) {
+      val c    = rng.nextDouble() * 100 + 1
+      val n    = 30 + rng.nextInt(50)
+      val span = 2 + rng.nextInt(20)
+      val df   = (1 to n).map(i => ("k", i, c)).toDF("k", "t", "v")
+      val w    = Window.partitionBy("k").orderBy("t")
+      val out = df
+        .withColumn("pos", row_number().over(w).cast("double"))
+        .withColumn("e", WindowOps.ewm(col("v"), col("pos"), w, 20, 2.0 / (span + 1.0)))
+        .select(max(abs(col("e") - c)))
+        .as[Double]
+        .head()
+      assert(out < 1e-9, s"trial $trial: constant-series EWM drifted by $out")
+    }
+  }
+
+  test("split adjustment round-trip: adj_price * cum_factor == raw price") {
+    for (_ <- 1 to 3) {
+      val n = 50 + rng.nextInt(50)
+      val bars = (1 to n).map { i =>
+        val base = 100.0 + rng.nextDouble() * 10
+        ("S", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+          base, base + 1, base - 1, base + rng.nextDouble(), 1000.0 + i)
+      }.toDF("symbol", "d", "open", "high", "low", "close", "volume")
+      val events = Seq(
+        ("S", java.sql.Date.valueOf("2020-01-20"), 2.0),
+        ("S", java.sql.Date.valueOf("2020-02-10"), 4.0)
+      ).toDF("symbol", "d", "split_factor")
+      val out = CorporateActions
+        .applySplitAdjustment(bars, events, Seq("symbol"), "d")
+        .select(max(abs(col("adj_close") * col("cum_future_factor") - col("close"))))
+        .as[Double]
+        .head()
+      assert(out < 1e-9, s"round-trip drift $out")
+    }
+  }
+
+  test("split adjustment with no events is the identity") {
+    val bars = (1 to 20).map { i =>
+      ("S", java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        1.0, 2.0, 0.5, 1.5, 100.0)
+    }.toDF("symbol", "d", "open", "high", "low", "close", "volume")
+    val empty = Seq.empty[(String, java.sql.Date, Double)].toDF("symbol", "d", "split_factor")
+    val out = CorporateActions
+      .applySplitAdjustment(bars, empty, Seq("symbol"), "d")
+      .select(max(abs(col("adj_close") - col("close"))), max(abs(col("cum_future_factor") - 1.0)))
+      .as[(Double, Double)]
+      .head()
+    assert(out._1 == 0.0 && out._2 == 0.0)
+  }
+
+  test("gap interpolation is the identity on a dense series") {
+    for (_ <- 1 to 3) {
+      val n = 10 + rng.nextInt(30)
+      val actuals = (1 to n).map { i =>
+        ("k", java.sql.Date.valueOf(java.time.LocalDate.of(2021, 3, 1).plusDays(i)), rng.nextDouble() * 50)
+      }.toDF("k", "d", "v")
+      val spine = TimeSeriesOps.keyedDateSpine(actuals, Seq("k"), "d")
+      val out = TimeSeriesOps
+        .gapFillInterpolate(spine, actuals, Seq("k"), "d", "v")
+        .agg(
+          sum(when(col("data_source") =!= "Actual", 1).otherwise(0)),
+          max(abs(col("imputed_value") - col("v")))
+        )
+        .as[(Long, Double)]
+        .head()
+      assert(out._1 == 0L, "dense series must be all Actual")
+      assert(out._2 == 0.0, "imputed must equal actual on dense series")
+    }
+  }
+
+  test("mergeUpsert is idempotent: merging the same source twice == once") {
+    for (_ <- 1 to 3) {
+      val target = (1 to 20).map(i => (i.toLong, s"v$i", 1L)).toDF("id", "v", "ver")
+      val source = (10 to 30).map(i => (i.toLong, s"new$i", 2L)).toDF("id", "v", "ver")
+      val once  = SinkOps.mergeUpsert(target, source, Seq("id"), Seq(col("ver").desc))
+      val twice = SinkOps.mergeUpsert(once, source, Seq("id"), Seq(col("ver").desc))
+      assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+    }
+  }
+}
