@@ -9,7 +9,8 @@ object Registry {
     RelationalQueries.defs ++ WindowQueries.defs ++
       TimeSeriesQueries.defs ++ TextQueries.defs ++ ModelQueries.defs ++
       SignalQueries.defs ++ TextMlQueries.defs ++ InfraQueries.defs ++
-      MarketModelQueries.defs ++ BacktestQueries.defs ++ CoverageQueries.defs
+      MarketModelQueries.defs ++ BacktestQueries.defs ++ CoverageQueries.defs ++
+      SignalQueries2.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
