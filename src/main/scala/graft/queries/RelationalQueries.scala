@@ -356,6 +356,59 @@ object RelationalQueries {
         GROUP BY activity_type, detail
       """)
     ),
+    // §2.B scalar-function suite: mortgage amortization math
+    // (housing_mortgage_rates.sql:40-53), quarter-string parsing
+    // (government/housing_inventory.sql:12-24), regex validation,
+    // sign/ln/sqrt/greatest census
+    QueryDef(
+      "q_scalar_function_suite",
+      (s, dir) => {
+        val o = T(s, dir).orders
+        val p    = col("o_totalprice")
+        val rate = lit(3.0) + (col("o_orderkey") % 5).cast("double")
+        val m    = rate / 12.0 / 100.0
+        val pow360 = pow(lit(1.0) + m, 360.0)
+        val qstr = concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+          quarter(col("o_orderdate")).cast("string"))
+        val qStart = to_date(concat(
+          substring(qstr, 1, 4),
+          when(substring(qstr, 6, 2) === "Q1", "-01-01")
+            .when(substring(qstr, 6, 2) === "Q2", "-04-01")
+            .when(substring(qstr, 6, 2) === "Q3", "-07-01")
+            .otherwise("-10-01")
+        ))
+        o.select(
+          col("o_orderkey"),
+          r4(p * (m * pow360) / (pow360 - 1.0)).as("monthly_payment"),
+          qstr.as("quarter_str"),
+          qStart.as("quarter_start"),
+          col("o_orderpriority").rlike("^[0-9]-[A-Z]+$").as("priority_valid"),
+          signum(p - 100000.0).as("sign_vs_100k"),
+          r4(log(p)).as("ln_price"),
+          r4(sqrt(p)).as("sqrt_price"),
+          r4(greatest(log(p), rate)).as("greatest_val")
+        )
+      },
+      Some("""
+        SELECT o_orderkey,
+          ROUND(o_totalprice * ((3.0 + CAST(o_orderkey % 5 AS DOUBLE)) / 12.0 / 100.0
+                * POW(1.0 + (3.0 + CAST(o_orderkey % 5 AS DOUBLE)) / 12.0 / 100.0, 360.0))
+              / (POW(1.0 + (3.0 + CAST(o_orderkey % 5 AS DOUBLE)) / 12.0 / 100.0, 360.0) - 1.0), 4)
+            AS monthly_payment,
+          CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) || '-Q' ||
+            CAST(EXTRACT(QUARTER FROM o_orderdate) AS VARCHAR) AS quarter_str,
+          CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR) ||
+            (CASE EXTRACT(QUARTER FROM o_orderdate) WHEN 1 THEN '-01-01' WHEN 2 THEN '-04-01'
+                  WHEN 3 THEN '-07-01' ELSE '-10-01' END) AS DATE) AS quarter_start,
+          regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$') AS priority_valid,
+          CASE WHEN o_totalprice - 100000.0 > 0 THEN 1.0
+               WHEN o_totalprice - 100000.0 < 0 THEN -1.0 ELSE 0.0 END AS sign_vs_100k,
+          ROUND(LN(o_totalprice), 4) AS ln_price,
+          ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
+          ROUND(GREATEST(LN(o_totalprice), 3.0 + CAST(o_orderkey % 5 AS DOUBLE)), 4) AS greatest_val
+        FROM orders
+      """)
+    ),
     // §2.C cross join of scalar boundaries + period-bucket stats
     // (calculate_market_summary.sql:32-132 shape, anchored to max date)
     QueryDef(
