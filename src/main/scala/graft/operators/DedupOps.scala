@@ -41,12 +41,6 @@ object DedupOps {
         count(lit(1)).as("n_docs")
       )
 
-  /** MinHash signature component j: min over shingles of
-    * md5(j || ':' || shingle). Deterministic and engine-portable
-    * (string min over hex digests). */
-  def minhashSig(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
-
   /** Attach k MinHash signature columns sig_0..sig_{k-1}.
     * Signatures are computed by explode + codegen'd min-aggregates
     * (one pass over the shingles) rather than k interpreted
