@@ -25,6 +25,11 @@ object GraftSession {
       // SAFE_* everywhere; we map those explicitly via try_* functions.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // keep catalog/warehouse artifacts out of the repo working dir
+      .config(
+        "spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"
+      )
       .config("spark.ui.enabled", "false")
     master.foreach(b.master)
     val spark = b.getOrCreate()
