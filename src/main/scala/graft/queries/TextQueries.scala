@@ -240,6 +240,56 @@ object TextQueries {
       """
       }
     ),
+    // Thread-structure metrics (reddit_thread_structure.sql: parent_id
+    // prefix 't3_' = top-level, depth, reply chains): orders as posts,
+    // lineitems as a comment chain ordered by (linenumber, partkey,
+    // suppkey); first comment replies to the post ('t3_'), the rest to
+    // the previous comment ('t1_').
+    QueryDef(
+      "q_thread_structure",
+      (s, dir) => {
+        val li = T(s, dir).lineitem
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        val threaded = li
+          .withColumn("depth", row_number().over(w).cast("long"))
+          .withColumn(
+            "parent_id",
+            when(col("depth") === 1, concat(lit("t3_"), col("l_orderkey")))
+              .otherwise(concat(lit("t1_"), col("l_orderkey"), lit("_"), col("depth") - 1))
+          )
+        threaded
+          .groupBy(col("l_orderkey"))
+          .agg(
+            count(lit(1)).as("n_comments"),
+            max(col("depth")).as("max_depth"),
+            sum(when(col("parent_id").startsWith("t3_"), 1).otherwise(0)).as("n_top_level"),
+            (sum(col("depth")).cast("double") / count(lit(1))).as("avg_depth")
+          )
+      },
+      Some("""
+        WITH threaded AS (
+          SELECT l_orderkey,
+            CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS depth
+          FROM lineitem
+        ),
+        withparent AS (
+          SELECT l_orderkey, depth,
+            CASE WHEN depth = 1 THEN 't3_' || CAST(l_orderkey AS VARCHAR)
+                 ELSE 't1_' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(depth - 1 AS VARCHAR) END AS parent_id
+          FROM threaded
+        )
+        SELECT l_orderkey,
+          COUNT(*) AS n_comments,
+          MAX(depth) AS max_depth,
+          SUM(CASE WHEN starts_with(parent_id, 't3_') THEN 1 ELSE 0 END) AS n_top_level,
+          CAST(SUM(depth) AS DOUBLE) / COUNT(*) AS avg_depth
+        FROM withparent
+        GROUP BY l_orderkey
+      """)
+    ),
     // Brute-force cosine top-k against a fixed query vector
     // (semantic_search.py ML.DISTANCE COSINE idiom)
     QueryDef(
