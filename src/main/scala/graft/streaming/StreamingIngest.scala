@@ -41,6 +41,36 @@ object StreamingIngest {
         col("total_value")
       )
 
+  /** Custom keyed state: running per-key aggregate maintained across
+    * micro-batches via flatMapGroupsWithState — the Structured
+    * Streaming tool for state machines the built-in windows can't
+    * express (alert breach/resolve tracking, signal lifecycles).
+    * Emits one updated (key, count, total) row per key per batch. */
+  def statefulRunningTotals(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String
+  ): org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($valueCol AS DOUBLE) AS v")
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case (key, rows, state: GroupState[(Long, Double)]) =>
+        val (n0, s0)   = state.getOption.getOrElse((0L, 0.0))
+        var n          = n0
+        var total      = s0
+        rows.foreach { case (_, v) => n += 1; total += v }
+        state.update((n, total))
+        Iterator.single((key, n, total))
+      }
+  }
+
   /** Ingest->merge: each micro-batch is MERGE-upserted into the target
     * parquet by key (idempotent under redelivery — the reference's
     * upsert-on-rerun semantics). Runs to completion with

@@ -101,6 +101,21 @@ class InfraSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 1L)))
   }
 
+  test("flatMapGroupsWithState maintains running per-key totals across batches") {
+    val src = Files.createTempDirectory("graft_state_src").toString
+    val b1 = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 5.0)).toDF("k", "v")
+    b1.write.mode("overwrite").parquet(src)
+    val stream = StreamingIngest.parquetStream(spark, src, b1.schema)
+    val stateful = StreamingIngest.statefulRunningTotals(stream, "k", "v")
+    val q = stateful.writeStream
+      .format("memory").queryName("state_totals").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("state_totals").as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("u1", 2L, 3.0), ("u2", 1L, 5.0)))
+  }
+
   test("multimodal batchedFeaturize emits deterministic stub features") {
     val docs  = Seq((1L, "abcd", "s1"), (2L, "", "s2")).toDF("doc_id", "text", "source")
     val media = MultimodalOps.fromText(docs, "doc_id", "text", "source")

@@ -40,6 +40,17 @@ class ScaleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     import db.implicits._
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lines")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse files persist — clear the physical locations too
+    val wh = System.getProperty("java.io.tmpdir") + "/graft-warehouse"
+    Seq("b_orders", "b_lines").foreach { t =>
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("k", "ov")
       .write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("b_orders")
     (1 to 3000).map(i => ((i % 1000 + 1).toLong, s"l$i")).toDF("k", "lv")
