@@ -10,9 +10,11 @@ import graft.queries.Registry
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The 31-column technical-indicator suite is the engine's
+    * showcase model (SURVEY §2.J). */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q_join_star_region_revenue").query(spark, "/root/testdata/sf0.001")
+    Registry.byName("q_ta_indicator_daily").query(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
