@@ -49,9 +49,9 @@ object BacktestQueries {
         spine AS (SELECT DISTINCT LAST_DAY(d) AS snapshot_date FROM bars)
         SELECT snapshot_date, symbol,
           COUNT(*) AS n_bars,
-          ROUND(CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_volume,
-          ROUND(MAX(high), 4) AS period_high,
-          ROUND(MIN(low), 4) AS period_low,
+          ROUND(CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS total_volume,
+          ROUND(MAX(high), 4) + 0.0 AS period_high,
+          ROUND(MIN(low), 4) + 0.0 AS period_low,
           MAX_BY(close, d) AS last_close,
           MAX(d) AS last_bar_date
         FROM bars JOIN spine ON d <= snapshot_date AND d > snapshot_date - 90
@@ -83,7 +83,7 @@ object BacktestQueries {
           )
       },
       Some("""
-        WITH o AS (SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice FROM orders),
+        WITH o AS (SELECT o_orderkey, ROUND(o_totalprice, 4) + 0.0 AS o_totalprice FROM orders),
         top AS (
           SELECT o_orderkey, o_totalprice, 'top' AS sample_kind
           FROM o ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
@@ -144,7 +144,7 @@ object BacktestQueries {
         withret AS (
           SELECT *, (close - prev_close) / NULLIF(prev_close, 0) AS ret FROM base
         )
-        SELECT symbol, d, 'zscore' AS anomaly_type, ROUND((close - mu21) / sd21, 4) AS metric
+        SELECT symbol, d, 'zscore' AS anomaly_type, ROUND((close - mu21) / sd21, 4) + 0.0 AS metric
         FROM withret WHERE n21 = 21 AND sd21 > 0 AND ABS((close - mu21) / sd21) > 3
         UNION ALL
         SELECT symbol, d, 'return_spike', ROUND(ret, 4)
@@ -224,9 +224,9 @@ object BacktestQueries {
         ),
         bench AS (SELECT d, fwd5 AS bench_fwd5, fwd21 AS bench_fwd21 FROM fwd WHERE symbol = 'N')
         SELECT f.symbol, f.d,
-          ROUND(f.fwd5, 4) AS fwd5, ROUND(f.fwd21, 4) AS fwd21,
-          ROUND(f.fwd5 - b.bench_fwd5, 4) AS rel_fwd5,
-          ROUND(f.fwd21 - b.bench_fwd21, 4) AS rel_fwd21
+          ROUND(f.fwd5, 4) + 0.0 AS fwd5, ROUND(f.fwd21, 4) + 0.0 AS fwd21,
+          ROUND(f.fwd5 - b.bench_fwd5, 4) + 0.0 AS rel_fwd5,
+          ROUND(f.fwd21 - b.bench_fwd21, 4) + 0.0 AS rel_fwd21
         FROM fwd f LEFT JOIN bench b ON f.d = b.d
         WHERE f.symbol <> 'N'
       """)

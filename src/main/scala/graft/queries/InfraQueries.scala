@@ -63,7 +63,7 @@ object InfraQueries {
           fagg.n_frames, fagg.first_frame_hash,
           ROUND(list_sum(list_transform(range(1, LEAST(m.byte_len, 256) + 1),
             i -> CAST(ascii(SUBSTR(m.text, CAST(i AS INT), 1)) AS DOUBLE)))
-            / LEAST(m.byte_len, 256) / 255.0, 4) AS stub_brightness
+            / LEAST(m.byte_len, 256) / 255.0, 4) + 0.0 AS stub_brightness
         FROM media m JOIN fagg ON m.media_id = fagg.media_id
       """)
     ),
@@ -78,12 +78,12 @@ object InfraQueries {
         ),
       Some("""
         SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
-          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS gross_revenue,
-          ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS net_revenue,
-          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_quantity,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS gross_revenue,
+          ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS net_revenue,
+          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS total_quantity,
           COUNT(DISTINCT l_orderkey) AS order_count,
           COUNT(*) AS line_count,
-          ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_discount
+          ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) + 0.0 AS avg_discount
         FROM lineitem
         GROUP BY 1, 2
       """)

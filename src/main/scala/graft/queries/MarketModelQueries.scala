@@ -28,7 +28,7 @@ object MarketModelQueries {
   private def bucketSeriesSql(buckets: Int) = s"""
     series AS (
       SELECT CAST(l_suppkey % $buckets AS BIGINT) AS asset, CAST(l_shipdate AS DATE) AS d,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v
       FROM lineitem GROUP BY 1, 2
     )"""
 
@@ -82,8 +82,8 @@ object MarketModelQueries {
           FROM logs
           WINDOW f20 AS (PARTITION BY symbol ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         )
-        SELECT symbol, d, ROUND(realized_vol20, 4) AS realized_vol20,
-          ROUND(parkinson20, 4) AS parkinson20, ROUND(gk20, 4) AS gk20
+        SELECT symbol, d, ROUND(realized_vol20, 4) + 0.0 AS realized_vol20,
+          ROUND(parkinson20, 4) + 0.0 AS parkinson20, ROUND(gk20, 4) + 0.0 AS gk20
         FROM vols WHERE n20 = 20
       """)
     ),
@@ -154,7 +154,7 @@ object MarketModelQueries {
           FROM trig
         )
         SELECT symbol, d, bars_available,
-          ROUND(sma20, 4) AS sma20, ROUND(sma50, 4) AS sma50,
+          ROUND(sma20, 4) + 0.0 AS sma20, ROUND(sma50, 4) + 0.0 AS sma50,
           trigger, bars_available - last_trigger_bar AS bars_since_trigger,
           CASE WHEN last_trigger_bar IS NULL THEN 'none'
                WHEN trigger THEN 'triggered'
@@ -208,16 +208,16 @@ object MarketModelQueries {
         ),
         daily AS (
           SELECT d,
-            SUM(CASE WHEN v > prev_v THEN 1 ELSE 0 END) AS n_adv,
-            SUM(CASE WHEN NOT (v > prev_v) THEN 1 ELSE 0 END) AS n_dec,
-            SUM(CASE WHEN v > sma20 THEN 1 ELSE 0 END) AS n_above_sma,
+            CAST(SUM(CASE WHEN v > prev_v THEN 1 ELSE 0 END) AS BIGINT) AS n_adv,
+            CAST(SUM(CASE WHEN NOT (v > prev_v) THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
+            CAST(SUM(CASE WHEN v > sma20 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_sma,
             COUNT(*) AS n_assets
           FROM marked WHERE prev_v IS NOT NULL
           GROUP BY d
         )
         SELECT d, n_adv, n_dec, n_assets,
           CAST(SUM(n_adv - n_dec) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ad_line,
-          ROUND(CAST(n_above_sma AS DOUBLE) / n_assets, 4) AS pct_above_sma
+          ROUND(CAST(n_above_sma AS DOUBLE) / n_assets, 4) + 0.0 AS pct_above_sma
         FROM daily
       """)
     ),
@@ -248,7 +248,7 @@ object MarketModelQueries {
           FROM series
         )
         SELECT d,
-          ROUND(CAST(SUM(CASE WHEN v > v63 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS diffusion,
+          ROUND(CAST(SUM(CASE WHEN v > v63 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) + 0.0 AS diffusion,
           COUNT(*) AS n_assets
         FROM marked WHERE v63 IS NOT NULL
         GROUP BY d
@@ -295,7 +295,7 @@ object MarketModelQueries {
       Some("""
         WITH monthly AS (
           SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month, l_returnflag AS flag,
-            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v
           FROM lineitem GROUP BY 1, 2
         ),
         rets AS (
@@ -321,7 +321,7 @@ object MarketModelQueries {
              + CASE WHEN ret_r > 0 THEN 1 ELSE -1 END) AS score
           FROM pivoted
         )
-        SELECT month, ROUND(ret_a, 4) AS ret_a, ROUND(ret_n, 4) AS ret_n, ROUND(ret_r, 4) AS ret_r,
+        SELECT month, ROUND(ret_a, 4) + 0.0 AS ret_a, ROUND(ret_n, 4) + 0.0 AS ret_n, ROUND(ret_r, 4) + 0.0 AS ret_r,
           CAST(score AS BIGINT) AS score,
           CASE WHEN score >= 2 THEN 'expansion'
                WHEN score >= 0 THEN 'neutral'

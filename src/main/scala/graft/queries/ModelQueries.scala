@@ -39,11 +39,11 @@ object ModelQueries {
   val barsSqlPublic: String = """
     bars AS (
       SELECT l_returnflag AS symbol, CAST(l_shipdate AS DATE) AS d,
-        ROUND(MIN_BY(l_extendedprice, md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))), 4) AS open,
-        ROUND(MAX(l_extendedprice), 4) AS high,
-        ROUND(MIN(l_extendedprice), 4) AS low,
-        ROUND(MAX_BY(l_extendedprice, md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))), 4) AS close,
-        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS volume
+        ROUND(MIN_BY(l_extendedprice, md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))), 4) + 0.0 AS open,
+        ROUND(MAX(l_extendedprice), 4) + 0.0 AS high,
+        ROUND(MIN(l_extendedprice), 4) + 0.0 AS low,
+        ROUND(MAX_BY(l_extendedprice, md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR))), 4) + 0.0 AS close,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS volume
       FROM lineitem GROUP BY 1, 2
     )"""
 
@@ -189,39 +189,39 @@ object ModelQueries {
             w3 AS (PARTITION BY symbol ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         )
         SELECT symbol, d, open, high, low, close, volume, bars_available,
-          ROUND(CASE WHEN bars_available >= 20 THEN sma20 END, 4) AS sma20,
-          ROUND(CASE WHEN bars_available >= 50 THEN sma50 END, 4) AS sma50,
-          ROUND(CASE WHEN bars_available >= 12 THEN ema12 END, 4) AS ema12,
-          ROUND(CASE WHEN bars_available >= 26 THEN ema26 END, 4) AS ema26,
-          ROUND(CASE WHEN bars_available >= 26 THEN macd END, 4) AS macd,
-          ROUND(CASE WHEN bars_available >= 35 THEN macd_signal END, 4) AS macd_signal,
-          ROUND(CASE WHEN bars_available >= 35 THEN macd - macd_signal END, 4) AS macd_hist,
-          ROUND(CASE WHEN bars_available >= 15 THEN rsi14 END, 4) AS rsi14,
-          ROUND(CASE WHEN bars_available >= 20 THEN boll_upper END, 4) AS boll_upper,
-          ROUND(CASE WHEN bars_available >= 20 THEN boll_lower END, 4) AS boll_lower,
+          ROUND(CASE WHEN bars_available >= 20 THEN sma20 END, 4) + 0.0 AS sma20,
+          ROUND(CASE WHEN bars_available >= 50 THEN sma50 END, 4) + 0.0 AS sma50,
+          ROUND(CASE WHEN bars_available >= 12 THEN ema12 END, 4) + 0.0 AS ema12,
+          ROUND(CASE WHEN bars_available >= 26 THEN ema26 END, 4) + 0.0 AS ema26,
+          ROUND(CASE WHEN bars_available >= 26 THEN macd END, 4) + 0.0 AS macd,
+          ROUND(CASE WHEN bars_available >= 35 THEN macd_signal END, 4) + 0.0 AS macd_signal,
+          ROUND(CASE WHEN bars_available >= 35 THEN macd - macd_signal END, 4) + 0.0 AS macd_hist,
+          ROUND(CASE WHEN bars_available >= 15 THEN rsi14 END, 4) + 0.0 AS rsi14,
+          ROUND(CASE WHEN bars_available >= 20 THEN boll_upper END, 4) + 0.0 AS boll_upper,
+          ROUND(CASE WHEN bars_available >= 20 THEN boll_lower END, 4) + 0.0 AS boll_lower,
           ROUND(CASE WHEN bars_available >= 20 THEN
-            (CASE WHEN boll_upper - boll_lower <> 0 THEN (close - boll_lower) / (boll_upper - boll_lower) END) END, 4) AS pct_b,
+            (CASE WHEN boll_upper - boll_lower <> 0 THEN (close - boll_lower) / (boll_upper - boll_lower) END) END, 4) + 0.0 AS pct_b,
           ROUND(CASE WHEN bars_available >= 20 THEN
-            (CASE WHEN sma20 <> 0 THEN (boll_upper - boll_lower) / sma20 END) END, 4) AS bandwidth,
-          ROUND(CASE WHEN bars_available >= 15 THEN atr14 END, 4) AS atr14,
-          ROUND(CASE WHEN bars_available >= 15 THEN natr14 END, 4) AS natr14,
-          ROUND(CASE WHEN bars_available >= 14 THEN stoch_k END, 4) AS stoch_k,
-          ROUND(CASE WHEN bars_available >= 16 THEN stoch_d END, 4) AS stoch_d,
-          ROUND(CASE WHEN bars_available >= 14 THEN williams_r END, 4) AS williams_r,
-          ROUND(CASE WHEN bars_available >= 21 THEN roc20 END, 4) AS roc20,
-          ROUND(CASE WHEN bars_available >= 2 THEN obv END, 4) AS obv,
-          ROUND(CASE WHEN bars_available >= 21 THEN donchian_high20 END, 4) AS donchian_high20,
-          ROUND(CASE WHEN bars_available >= 21 THEN donchian_low20 END, 4) AS donchian_low20,
-          ROUND(high52w, 4) AS high52w,
-          ROUND(low52w, 4) AS low52w,
-          ROUND(pct_off_52w_high, 4) AS pct_off_52w_high,
-          ROUND(CASE WHEN bars_available >= 20 THEN rel_volume END, 4) AS rel_volume,
-          ROUND(CASE WHEN bars_available >= 60 THEN zscore60 END, 4) AS zscore60,
-          ROUND(CASE WHEN bars_available >= 15 THEN plus_di END, 4) AS plus_di,
-          ROUND(CASE WHEN bars_available >= 15 THEN minus_di END, 4) AS minus_di,
-          ROUND(CASE WHEN bars_available >= 15 THEN adx14 END, 4) AS adx14,
-          ROUND(CASE WHEN bars_available >= 20 THEN cci20 END, 4) AS cci20,
-          ROUND(CASE WHEN bars_available >= 15 THEN mfi14 END, 4) AS mfi14
+            (CASE WHEN sma20 <> 0 THEN (boll_upper - boll_lower) / sma20 END) END, 4) + 0.0 AS bandwidth,
+          ROUND(CASE WHEN bars_available >= 15 THEN atr14 END, 4) + 0.0 AS atr14,
+          ROUND(CASE WHEN bars_available >= 15 THEN natr14 END, 4) + 0.0 AS natr14,
+          ROUND(CASE WHEN bars_available >= 14 THEN stoch_k END, 4) + 0.0 AS stoch_k,
+          ROUND(CASE WHEN bars_available >= 16 THEN stoch_d END, 4) + 0.0 AS stoch_d,
+          ROUND(CASE WHEN bars_available >= 14 THEN williams_r END, 4) + 0.0 AS williams_r,
+          ROUND(CASE WHEN bars_available >= 21 THEN roc20 END, 4) + 0.0 AS roc20,
+          ROUND(CASE WHEN bars_available >= 2 THEN obv END, 4) + 0.0 AS obv,
+          ROUND(CASE WHEN bars_available >= 21 THEN donchian_high20 END, 4) + 0.0 AS donchian_high20,
+          ROUND(CASE WHEN bars_available >= 21 THEN donchian_low20 END, 4) + 0.0 AS donchian_low20,
+          ROUND(high52w, 4) + 0.0 AS high52w,
+          ROUND(low52w, 4) + 0.0 AS low52w,
+          ROUND(pct_off_52w_high, 4) + 0.0 AS pct_off_52w_high,
+          ROUND(CASE WHEN bars_available >= 20 THEN rel_volume END, 4) + 0.0 AS rel_volume,
+          ROUND(CASE WHEN bars_available >= 60 THEN zscore60 END, 4) + 0.0 AS zscore60,
+          ROUND(CASE WHEN bars_available >= 15 THEN plus_di END, 4) + 0.0 AS plus_di,
+          ROUND(CASE WHEN bars_available >= 15 THEN minus_di END, 4) + 0.0 AS minus_di,
+          ROUND(CASE WHEN bars_available >= 15 THEN adx14 END, 4) + 0.0 AS adx14,
+          ROUND(CASE WHEN bars_available >= 20 THEN cci20 END, 4) + 0.0 AS cci20,
+          ROUND(CASE WHEN bars_available >= 15 THEN mfi14 END, 4) + 0.0 AS mfi14
         FROM s5
       """)
     ),

@@ -36,12 +36,12 @@ object RelationalQueries {
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
-          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
-          ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
-          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
-          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
-          ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
+          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS sum_qty,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS sum_base_price,
+          ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS sum_disc_price,
+          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 4) + 0.0 AS avg_qty,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) + 0.0 AS avg_price,
+          ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) + 0.0 AS avg_disc,
           COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -65,7 +65,7 @@ object RelationalQueries {
       },
       Some("""
         SELECT
-          ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+          ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS revenue,
           COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -89,7 +89,7 @@ object RelationalQueries {
       },
       Some("""
         SELECT r_name, n_name,
-          ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+          ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS revenue,
           COUNT(*) AS n_items
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
@@ -116,9 +116,9 @@ object RelationalQueries {
       Some("""
         SELECT c_mktsegment,
           COUNT(*) AS n_orders,
-          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
-          SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 4) AS avg_value
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS total_value,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(o_totalprice), 4) + 0.0 AS avg_value
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
       """)
@@ -140,7 +140,7 @@ object RelationalQueries {
       },
       Some("""
         SELECT n_name, COUNT(*) AS n_idle_customers,
-          ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS idle_acctbal
+          ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS idle_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -188,10 +188,10 @@ object RelationalQueries {
       },
       Some("""
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
-          SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-          SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-          SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-          ROUND(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 4) AS value_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+          ROUND(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS value_f,
           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS n_high_priority
         FROM orders
         GROUP BY 1
@@ -214,7 +214,7 @@ object RelationalQueries {
         SELECT l_partkey,
           COUNT(DISTINCT l_suppkey) AS n_suppliers,
           COUNT(DISTINCT l_orderkey) AS n_orders,
-          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_qty
+          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS total_qty
         FROM lineitem
         GROUP BY l_partkey
         HAVING COUNT(DISTINCT l_suppkey) >= 3 AND COUNT(DISTINCT l_orderkey) >= 10
@@ -238,7 +238,7 @@ object RelationalQueries {
       },
       Some("""
         SELECT o_custkey,
-          ROUND(MAX_BY(o_totalprice, o_orderkey), 4) AS latest_price,
+          ROUND(MAX_BY(o_totalprice, o_orderkey), 4) + 0.0 AS latest_price,
           MAX(o_orderkey) AS latest_orderkey,
           MAX(CAST(o_orderdate AS DATE)) AS last_order_date,
           COUNT(*) AS n_orders
@@ -261,10 +261,10 @@ object RelationalQueries {
       },
       Some("""
         SELECT o_orderpriority,
-          ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price,
-          ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price,
-          ROUND(MIN(o_totalprice), 4) AS min_price,
-          ROUND(MAX(o_totalprice), 4) AS max_price
+          ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) + 0.0 AS median_price,
+          ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) + 0.0 AS p90_price,
+          ROUND(MIN(o_totalprice), 4) + 0.0 AS min_price,
+          ROUND(MAX(o_totalprice), 4) + 0.0 AS max_price
         FROM orders
         GROUP BY o_orderpriority
       """)
@@ -284,9 +284,9 @@ object RelationalQueries {
       },
       Some("""
         SELECT l_returnflag,
-          ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-          ROUND(STDDEV_SAMP(l_quantity), 4) AS stddev_qty,
-          ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_price,
+          ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+          ROUND(STDDEV_SAMP(l_quantity), 4) + 0.0 AS stddev_qty,
+          ROUND(STDDEV_SAMP(l_extendedprice), 4) + 0.0 AS stddev_price,
           COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
@@ -349,7 +349,7 @@ object RelationalQueries {
           SELECT 'event', CAST(ts AS DATE), value, event_type FROM events
         )
         SELECT activity_type, detail, COUNT(*) AS n,
-          ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_amount,
+          ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS total_amount,
           MIN(activity_date) AS first_date,
           MAX(activity_date) AS last_date
         FROM unioned
@@ -403,9 +403,9 @@ object RelationalQueries {
           regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$') AS priority_valid,
           CASE WHEN o_totalprice - 100000.0 > 0 THEN 1.0
                WHEN o_totalprice - 100000.0 < 0 THEN -1.0 ELSE 0.0 END AS sign_vs_100k,
-          ROUND(LN(o_totalprice), 4) AS ln_price,
-          ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
-          ROUND(GREATEST(LN(o_totalprice), 3.0 + CAST(o_orderkey % 5 AS DOUBLE)), 4) AS greatest_val
+          ROUND(LN(o_totalprice), 4) + 0.0 AS ln_price,
+          ROUND(SQRT(o_totalprice), 4) + 0.0 AS sqrt_price,
+          ROUND(GREATEST(LN(o_totalprice), 3.0 + CAST(o_orderkey % 5 AS DOUBLE)), 4) + 0.0 AS greatest_val
         FROM orders
       """)
     ),
@@ -435,8 +435,8 @@ object RelationalQueries {
         WITH anchor AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS anchor FROM lineitem),
         periods AS (SELECT * FROM (VALUES ('1m', 30), ('3m', 90), ('1y', 365)) AS t(period, days))
         SELECT period, COUNT(*) AS n_rows,
-          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price,
-          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS total_price,
+          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 4) + 0.0 AS avg_qty,
           MIN(CAST(l_shipdate AS DATE)) AS first_day,
           MAX(CAST(l_shipdate AS DATE)) AS last_day
         FROM lineitem, anchor, periods

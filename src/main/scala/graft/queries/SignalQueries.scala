@@ -210,7 +210,7 @@ object SignalQueries {
       Some("""
         WITH series AS (
           SELECT CAST(l_shipdate AS DATE) AS d,
-            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v
           FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
         ),
         rets AS (
@@ -288,7 +288,7 @@ object SignalQueries {
         s"""
         WITH series AS (
           SELECT CAST(l_shipdate AS DATE) AS d,
-            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v
           FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
         ),
         base AS (
@@ -303,8 +303,8 @@ object SignalQueries {
           SELECT d, rn, m90, m90 - LAG(m90, 3) OVER w AS diff3
           FROM base WINDOW w AS (ORDER BY d)
         )
-        SELECT d, ROUND(m90, 4) AS m90, ROUND(diff3, 4) AS diff3,
-          ROUND(fci_raw, 4) AS fci
+        SELECT d, ROUND(m90, 4) + 0.0 AS m90, ROUND(diff3, 4) + 0.0 AS diff3,
+          ROUND(fci_raw, 4) + 0.0 AS fci
         FROM (SELECT d, rn, m90, diff3, $terms AS fci_raw FROM diffs WINDOW w AS (ORDER BY d)) t
         WHERE rn >= 15
       """

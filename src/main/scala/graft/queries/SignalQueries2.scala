@@ -27,7 +27,7 @@ object SignalQueries2 {
   private val seriesSql = """
     series AS (
       SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v
       FROM lineitem GROUP BY 1, 2
     )"""
 
@@ -82,7 +82,7 @@ object SignalQueries2 {
         ),
         filt AS (SELECT * FROM sigs WHERE n >= 253),
         bench AS (SELECT d, ret252 AS bench_ret252 FROM filt WHERE flag = 'N')
-        SELECT f.flag, f.d, ROUND(f.ret252, 4) AS ret252,
+        SELECT f.flag, f.d, ROUND(f.ret252, 4) + 0.0 AS ret252,
           f.ret252 > 0 AS tsmom_positive,
           f.ret252 > b.bench_ret252 AS dual_momentum,
           f.v > f.sma200 AS faber_above_sma200,
@@ -142,8 +142,8 @@ object SignalQueries2 {
           WINDOW f20 AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
                  f252 AS (ORDER BY d ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
         )
-        SELECT d, ROUND(net_liq, 4) AS net_liq, ROUND(net_liq_ma20, 4) AS net_liq_ma20,
-               ROUND(net_liq_z1y, 4) AS net_liq_z1y
+        SELECT d, ROUND(net_liq, 4) + 0.0 AS net_liq, ROUND(net_liq_ma20, 4) + 0.0 AS net_liq_ma20,
+               ROUND(net_liq_z1y, 4) + 0.0 AS net_liq_z1y
         FROM sm WHERE nn >= 252
       """)
     ),
@@ -172,16 +172,16 @@ object SignalQueries2 {
       Some("""
         WITH monthly AS (
           SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS month,
-            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v
           FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
         ),
         lagged AS (
           SELECT month, v, LAG(v, 3) OVER w AS v3, LAG(v, 12) OVER w AS v12
           FROM monthly WINDOW w AS (ORDER BY month)
         )
-        SELECT month, ROUND(v, 4) AS v,
-          ROUND((POW(v / v3, 4.0) - 1.0) * 100.0, 4) AS roc_3m_annualized,
-          ROUND((v / v12 - 1.0) * 100.0, 4) AS roc_yoy,
+        SELECT month, ROUND(v, 4) + 0.0 AS v,
+          ROUND((POW(v / v3, 4.0) - 1.0) * 100.0, 4) + 0.0 AS roc_3m_annualized,
+          ROUND((v / v12 - 1.0) * 100.0, 4) + 0.0 AS roc_yoy,
           (POW(v / v3, 4.0) - 1.0) > (v / v12 - 1.0) AS accelerating
         FROM lagged WHERE v3 IS NOT NULL AND v12 IS NOT NULL
       """)
@@ -243,8 +243,8 @@ object SignalQueries2 {
               AS corr_stability
           FROM c
         )
-        SELECT d, ROUND(corr63, 4) AS corr63, ROUND(t_stat, 4) AS t_stat,
-          ROUND(corr_stability, 4) AS corr_stability,
+        SELECT d, ROUND(corr63, 4) + 0.0 AS corr63, ROUND(t_stat, 4) + 0.0 AS t_stat,
+          ROUND(corr_stability, 4) + 0.0 AS corr_stability,
           CASE WHEN corr63 >= 0.7 THEN 'high' WHEN corr63 >= 0.3 THEN 'moderate'
                WHEN corr63 >= -0.3 THEN 'weak' ELSE 'inverse' END AS corr_regime
         FROM t WHERE n63 = 63

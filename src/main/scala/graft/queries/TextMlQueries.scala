@@ -118,8 +118,8 @@ object TextMlQueries {
           JOIN embeddings e ON d.doc_id = e.vec_id, q
         )
         SELECT doc_id, keyword_score,
-          ROUND(cos_raw, 4) AS cosine_sim,
-          ROUND(keyword_score / 5.0 * 0.5 + cos_raw * 0.5, 4) AS hybrid_score
+          ROUND(cos_raw, 4) + 0.0 AS cosine_sim,
+          ROUND(keyword_score / 5.0 * 0.5 + cos_raw * 0.5, 4) + 0.0 AS hybrid_score
         FROM base
       """)
     )

@@ -95,7 +95,7 @@ object TextQueries {
           CAST(len(text) AS BIGINT) AS n_chars,
           CAST(GREATEST(len(t), CAST(CEIL(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens,
           ROUND(CASE WHEN len(t) > 0
-                THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t) END, 4) AS avg_token_len,
+                THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t) END, 4) + 0.0 AS avg_token_len,
           ROUND(((CASE WHEN len(text) BETWEEN 100 AND 10000 THEN 1.0
                        WHEN len(text) < 100 THEN len(text) / 100.0
                        ELSE 0.5 END)
@@ -284,7 +284,7 @@ object TextQueries {
         SELECT l_orderkey,
           COUNT(*) AS n_comments,
           MAX(depth) AS max_depth,
-          SUM(CASE WHEN starts_with(parent_id, 't3_') THEN 1 ELSE 0 END) AS n_top_level,
+          CAST(SUM(CASE WHEN starts_with(parent_id, 't3_') THEN 1 ELSE 0 END) AS BIGINT) AS n_top_level,
           CAST(SUM(depth) AS DOUBLE) / COUNT(*) AS avg_depth
         FROM withparent
         GROUP BY l_orderkey
@@ -314,7 +314,7 @@ object TextQueries {
               * SQRT(list_sum(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))), 0) AS cs
           FROM c, q
         )
-        SELECT vec_id, ROUND(cs, 4) AS cosine_sim
+        SELECT vec_id, ROUND(cs, 4) + 0.0 AS cosine_sim
         FROM sims
         ORDER BY ROUND(cs, 4) DESC, vec_id ASC
         LIMIT 10
@@ -358,7 +358,7 @@ object TextQueries {
               * SQRT(list_sum(list_transform(range(1, len(eb)+1), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))), 0) AS cs
           FROM pairs
         )
-        SELECT id_a, id_b, ROUND(cs, 4) AS cosine_sim
+        SELECT id_a, id_b, ROUND(cs, 4) + 0.0 AS cosine_sim
         FROM sims WHERE cs >= 0.2
       """
       }

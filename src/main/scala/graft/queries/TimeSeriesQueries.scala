@@ -28,8 +28,8 @@ object TimeSeriesQueries {
   private val seriesSql = """
     series AS (
       SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v,
-             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS q
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS q
       FROM lineitem GROUP BY 1, 2
     )"""
 
@@ -60,7 +60,7 @@ object TimeSeriesQueries {
         SELECT CAST(DATE_TRUNC('month', spine.d) AS DATE) AS month,
           COUNT(*) AS n_days,
           COUNT(CASE WHEN a.v IS NULL THEN 1 END) AS n_missing,
-          ROUND(CAST(SUM(CAST(a.v AS DECIMAL(18,6))) AS DOUBLE), 4) AS month_revenue
+          ROUND(CAST(SUM(CAST(a.v AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS month_revenue
         FROM spine LEFT JOIN a ON spine.d = a.d
         GROUP BY 1
       """)
@@ -95,7 +95,7 @@ object TimeSeriesQueries {
           ROUND(CASE WHEN v IS NOT NULL THEN v
                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN (pv + nv) / 2.0
                WHEN pv IS NOT NULL THEN pv
-               WHEN nv IS NOT NULL THEN nv END, 4) AS imputed_value,
+               WHEN nv IS NOT NULL THEN nv END, 4) + 0.0 AS imputed_value,
           CASE WHEN v IS NOT NULL THEN 'Actual'
                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'Interpolated'
                WHEN pv IS NOT NULL THEN 'Forward Filled'
@@ -153,8 +153,8 @@ object TimeSeriesQueries {
         WITH $seriesSql
         SELECT s.flag, s.d, s.v,
           p30.v AS v_30d_ago, p90.v AS v_90d_ago, p365.v AS v_365d_ago,
-          ROUND((s.v - p30.v) / NULLIF(p30.v, 0), 4) AS ret_30d,
-          ROUND((s.v - p365.v) / NULLIF(p365.v, 0), 4) AS ret_365d
+          ROUND((s.v - p30.v) / NULLIF(p30.v, 0), 4) + 0.0 AS ret_30d,
+          ROUND((s.v - p365.v) / NULLIF(p365.v, 0), 4) + 0.0 AS ret_365d
         FROM series s
         LEFT JOIN series p30 ON p30.flag = s.flag AND p30.d = s.d - 30
         LEFT JOIN series p90 ON p90.flag = s.flag AND p90.d = s.d - 90
@@ -184,7 +184,7 @@ object TimeSeriesQueries {
         WITH ev AS (
           SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS d, value FROM events
         )
-        SELECT event_id, user_id, event_type, d, ROUND(value, 4) AS value
+        SELECT event_id, user_id, event_type, d, ROUND(value, 4) + 0.0 AS value
         FROM ev l
         WHERE NOT EXISTS (
           SELECT 1 FROM ev r
@@ -218,9 +218,9 @@ object TimeSeriesQueries {
           SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
         )
         SELECT o_orderkey, o_custkey, d,
-          ROUND(o_totalprice, 4) AS o_totalprice,
+          ROUND(o_totalprice, 4) + 0.0 AS o_totalprice,
           LAG(d, 1) OVER w AS prev_order_date,
-          ROUND(LAG(o_totalprice, 1) OVER w, 4) AS prev_totalprice,
+          ROUND(LAG(o_totalprice, 1) OVER w, 4) + 0.0 AS prev_totalprice,
           CAST(d - LAG(d, 1) OVER w AS BIGINT) AS days_since_prev
         FROM o
         WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)

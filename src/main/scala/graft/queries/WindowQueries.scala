@@ -37,8 +37,8 @@ object WindowQueries {
   private val seriesSql = """
     series AS (
       SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS v,
-             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS q
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS q
       FROM lineitem GROUP BY 1, 2
     )"""
 
@@ -66,8 +66,8 @@ object WindowQueries {
         SELECT flag, d, v,
           LAG(v, 1) OVER w AS prev_v,
           LEAD(v, 1) OVER w AS next_v,
-          ROUND((v - LAG(v, 1) OVER w) / NULLIF(LAG(v, 1) OVER w, 0), 4) AS pct_change,
-          ROUND((LEAD(v, 1) OVER w - v) / NULLIF(v, 0), 4) AS fwd_return
+          ROUND((v - LAG(v, 1) OVER w) / NULLIF(LAG(v, 1) OVER w, 0), 4) + 0.0 AS pct_change,
+          ROUND((LEAD(v, 1) OVER w - v) / NULLIF(v, 0), 4) + 0.0 AS fwd_return
         FROM series
         WINDOW w AS (PARTITION BY flag ORDER BY d)
       """)
@@ -96,11 +96,11 @@ object WindowQueries {
         WITH $seriesSql
         SELECT flag, d, v,
           CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER f7 AS DOUBLE) / COUNT(v) OVER f7 AS sma7,
-          ROUND(STDDEV_SAMP(v) OVER f7, 4) AS std7,
-          ROUND(MIN(v) OVER f7, 4) AS min7,
-          ROUND(MAX(v) OVER f7, 4) AS max7,
+          ROUND(STDDEV_SAMP(v) OVER f7, 4) + 0.0 AS std7,
+          ROUND(MIN(v) OVER f7, 4) + 0.0 AS min7,
+          ROUND(MAX(v) OVER f7, 4) + 0.0 AS max7,
           COUNT(v) OVER f7 AS n7,
-          ROUND(MAX(v) OVER p7, 4) AS donchian_high_prior7
+          ROUND(MAX(v) OVER p7, 4) + 0.0 AS donchian_high_prior7
         FROM series
         WINDOW f7 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
                p7 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
@@ -178,7 +178,7 @@ object WindowQueries {
       Some(s"""
         WITH $seriesSql
         SELECT flag, d,
-          ROUND(1.0 + q / 10000000.0, 4) AS factor,
+          ROUND(1.0 + q / 10000000.0, 4) + 0.0 AS factor,
           ROUND(COALESCE(EXP(SUM(LN(1.0 + q / 10000000.0))
             OVER (PARTITION BY flag ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)), 1.0), 4)
             AS future_cum_factor
@@ -207,7 +207,7 @@ object WindowQueries {
       },
       Some("""
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-               l_partkey, ROUND(l_quantity, 4) AS l_quantity
+               l_partkey, ROUND(l_quantity, 4) + 0.0 AS l_quantity
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
                     ORDER BY l_quantity DESC, l_linenumber ASC,
@@ -237,10 +237,10 @@ object WindowQueries {
         )
       },
       Some("""
-        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) + 0.0 AS o_totalprice,
           CAST(ROW_NUMBER() OVER det AS BIGINT) AS rn,
           CAST(RANK() OVER byval AS BIGINT) AS rnk,
-          ROUND(PERCENT_RANK() OVER byval, 4) AS pct_rank,
+          ROUND(PERCENT_RANK() OVER byval, 4) + 0.0 AS pct_rank,
           CAST(NTILE(5) OVER det AS BIGINT) AS quintile
         FROM orders
         WINDOW byval AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
@@ -265,8 +265,8 @@ object WindowQueries {
       Some(s"""
         WITH $seriesSql
         SELECT flag, d, v,
-          ROUND(FIRST_VALUE(v) OVER wf, 4) AS first_v,
-          ROUND(LAST_VALUE(v) OVER wf, 4) AS last_v,
+          ROUND(FIRST_VALUE(v) OVER wf, 4) + 0.0 AS first_v,
+          ROUND(LAST_VALUE(v) OVER wf, 4) + 0.0 AS last_v,
           ROUND((v - FIRST_VALUE(v) OVER wf) / NULLIF(FIRST_VALUE(v) OVER wf, 0), 4)
             AS since_inception_return
         FROM series
@@ -288,7 +288,7 @@ object WindowQueries {
       Some(s"""
         WITH $seriesSql
         SELECT flag, d,
-          ROUND(CORR(v, q) OVER f20, 4) AS corr_vq_20,
+          ROUND(CORR(v, q) OVER f20, 4) + 0.0 AS corr_vq_20,
           COUNT(*) OVER f20 AS n_20
         FROM series
         WINDOW f20 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
@@ -345,10 +345,10 @@ object WindowQueries {
           WINDOW f20 AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         )
         SELECT d,
-          ROUND((mxy - mx*my) / NULLIF(mxx - mx*mx, 0), 4) AS beta,
-          ROUND(my - ((mxy - mx*my) / NULLIF(mxx - mx*mx, 0)) * mx, 4) AS alpha,
+          ROUND((mxy - mx*my) / NULLIF(mxx - mx*mx, 0), 4) + 0.0 AS beta,
+          ROUND(my - ((mxy - mx*my) / NULLIF(mxx - mx*mx, 0)) * mx, 4) + 0.0 AS alpha,
           ROUND(y - ((my - ((mxy - mx*my) / NULLIF(mxx - mx*mx, 0)) * mx)
-                     + ((mxy - mx*my) / NULLIF(mxx - mx*mx, 0)) * x), 4) AS resid
+                     + ((mxy - mx*my) / NULLIF(mxx - mx*mx, 0)) * x), 4) + 0.0 AS resid
         FROM moments WHERE n >= 20
       """)
     ),
@@ -378,7 +378,7 @@ object WindowQueries {
         )
         SELECT flag, d, v,
           ROUND(SUM(v * POW(1.0 - 2.0/13.0, -rn)) OVER w
-                / SUM(POW(1.0 - 2.0/13.0, -rn)) OVER w, 4) AS ema12
+                / SUM(POW(1.0 - 2.0/13.0, -rn)) OVER w, 4) + 0.0 AS ema12
         FROM pos
         WINDOW w AS (PARTITION BY flag ORDER BY rn ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
       """)
@@ -406,7 +406,7 @@ object WindowQueries {
           SELECT p.flag, p.d, p.v, p.rn, 0.1 * p.v + 0.9 * r.ema
           FROM pos p JOIN rec r ON p.flag = r.flag AND p.rn = r.rn + 1
         )
-        SELECT flag, d, v, ROUND(ema, 4) AS ema FROM rec
+        SELECT flag, d, v, ROUND(ema, 4) + 0.0 AS ema FROM rec
       """)
     ),
     // Rolling z-score + range position (ta_zscore / ta_range_position)
@@ -423,8 +423,8 @@ object WindowQueries {
       Some(s"""
         WITH $seriesSql
         SELECT flag, d, v,
-          ROUND((v - AVG(v) OVER f20) / NULLIF(STDDEV_SAMP(v) OVER f20, 0), 4) AS zscore20,
-          ROUND((v - MIN(v) OVER f20) / NULLIF(MAX(v) OVER f20 - MIN(v) OVER f20, 0), 4) AS range_pos20
+          ROUND((v - AVG(v) OVER f20) / NULLIF(STDDEV_SAMP(v) OVER f20, 0), 4) + 0.0 AS zscore20,
+          ROUND((v - MIN(v) OVER f20) / NULLIF(MAX(v) OVER f20 - MIN(v) OVER f20, 0), 4) + 0.0 AS range_pos20
         FROM series
         WINDOW f20 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
       """)
