@@ -20,9 +20,13 @@ object DedupOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word-level n-gram shingles as space-joined strings. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word-level n-gram shingles from a PRE-BOUND token array column.
+    * The token array must be a plain attribute, not an expression:
+    * higher-order-function lambdas are interpreted (no whole-stage
+    * codegen, no subexpression elimination), so an inline `split()`
+    * here re-runs the regex once per shingle position — O(tokens²)
+    * per document. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
       transform(
@@ -30,7 +34,10 @@ object DedupOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))
       )
     ).otherwise(array(concat_ws(" ", toks)))
-  }
+
+  /** Word-level n-gram shingles as space-joined strings. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Exact-duplicate groups by content digest: one row per digest with
     * the keeper (min id) and the duplicate count. */
@@ -46,16 +53,21 @@ object DedupOps {
     * (one pass over the shingles) rather than k interpreted
     * higher-order-function scans — the shuffle is by id, which the
     * caller needs anyway for the LSH band join. */
-  def withMinhash(df: DataFrame, idCol: String, textCol: String, shingleN: Int, k: Int): DataFrame = {
-    // cache: the shingle arrays feed both the signature aggregation
-    // and the verify-side join; recomputing them doubles the tokenize
-    // + n-gram work
-    val base = df.withColumn("__sh", array_distinct(shingles(col(textCol), shingleN))).cache()
-    // One md5 per shingle; signature j is the min over the j-th
-    // 8-hex-char slice (slices of a cryptographic digest act as
-    // independent hash functions). k <= 4 for a 32-hex md5.
+  /** (id, __sh) distinct-shingle table. Cache before fanning out —
+    * the shingle arrays feed both the signature aggregation and the
+    * verify-side joins; recomputing them multiplies the tokenize +
+    * n-gram work per consumer. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), array_distinct(shinglesFromTokens(col("__t"), shingleN)).as("__sh"))
+
+  /** (id, sig_0..sig_{k-1}) MinHash signature table from a shingle
+    * table. One md5 per shingle; signature j is the min over the j-th
+    * 8-hex-char slice (slices of a cryptographic digest act as
+    * independent hash functions). k <= 4 for a 32-hex md5. */
+  def minhashSigs(shingled: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k <= 4, s"md5 slicing supports at most 4 signatures, got $k")
-    val sigs = base
+    shingled
       .select(col(idCol), explode(col("__sh")).as("__s"))
       .select(col(idCol), md5(col("__s")).as("__h"))
       .groupBy(col(idCol))
@@ -63,7 +75,12 @@ object DedupOps {
         min(substring(col("__h"), 1, 8)).as("sig_0"),
         (1 until k).map(j => min(substring(col("__h"), 1 + 8 * j, 8)).as(s"sig_$j")): _*
       )
-    base.join(sigs, Seq(idCol))
+  }
+
+  /** Attach k MinHash signature columns sig_0..sig_{k-1}. */
+  def withMinhash(df: DataFrame, idCol: String, textCol: String, shingleN: Int, k: Int): DataFrame = {
+    val base = shingleTable(df, idCol, textCol, shingleN).cache()
+    df.join(base, Seq(idCol)).join(minhashSigs(base, idCol, k), Seq(idCol))
   }
 
   /** Exact Jaccard similarity of two distinct-shingle arrays. */
@@ -87,31 +104,46 @@ object DedupOps {
       rowsPerBand: Int,
       minJaccard: Double
   ): DataFrame = {
-    val signed  = withMinhash(df, idCol, textCol, shingleN, numSigs)
-    val nBands  = numSigs / rowsPerBand
-    val banded = signed.select(
-      col(idCol).as("doc_id"),
-      col("__sh").as("sh"),
-      explode(
-        array((0 until nBands).map { b =>
-          struct(
-            lit(b).as("band"),
+    // The shingle table is the ONLY cached artifact: it feeds the
+    // signature aggregation once and the two verify-side joins, so
+    // the tokenize + n-gram + md5 work runs exactly once per doc.
+    val shingled = shingleTable(df, idCol, textCol, shingleN).cache()
+    val signed   = minhashSigs(shingled, idCol, numSigs)
+    val nBands   = numSigs / rowsPerBand
+    // Flat STRING bucket key (band index prefix + banded signature
+    // slices). A struct-typed key with an id inequality residual can
+    // degenerate to BroadcastNestedLoopJoin; a single string column
+    // keeps the self-join a hash-partitioned equi join. The candidate
+    // join carries ids only — shingle arrays are re-attached by id
+    // AFTER the pair space is deduplicated, so the wide arrays never
+    // ride through the band shuffle.
+    val banded = signed
+      .select(
+        col(idCol).as("doc_id"),
+        explode(
+          array((0 until nBands).map { b =>
             concat_ws(
               "|",
-              (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*
-            ).as("bucket")
-          )
-        }: _*)
-      ).as("bb")
-    )
-    // Rename bucket columns per side: joining a self-derived column
-    // by reference degenerates to a trivially-true predicate (cross
-    // join) — the bucket equality must be name-resolved per branch.
-    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("bb").as("bb_a"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("bb").as("bb_b"))
-    a.join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+              lit(b.toString) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*
+            )
+          }: _*)
+        ).as("bucket")
+      )
+      .cache()
+    // Rename columns per side: joining a self-derived column by
+    // reference degenerates to a trivially-true predicate (cross join).
+    val a = banded.select(col("doc_id").as("id_a"), col("bucket").as("bucket_a"))
+    val b = banded.select(col("doc_id").as("id_b"), col("bucket").as("bucket_b"))
+    val candidates = a
+      .join(b, col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val shA = shingled.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val shB = shingled.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -63,5 +63,10 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
   test("minhash LSH band join is a hash join on the bucket key, never a cross join") {
     val plan = executedPlan("q_minhash_neardup_pairs")
     assert(!plan.contains("CartesianProduct"), "LSH candidate join degenerated to cross join")
+    // A BroadcastNestedLoopJoin is just as quadratic as a cross join:
+    // it means the bucket equality was NOT extracted as an equi key
+    // (round-1 failure mode: struct-typed key + id inequality residual).
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate join degenerated to nested-loop join")
   }
 }
