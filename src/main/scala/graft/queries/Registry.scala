@@ -10,7 +10,8 @@ object Registry {
       TimeSeriesQueries.defs ++ TextQueries.defs ++ ModelQueries.defs ++
       SignalQueries.defs ++ TextMlQueries.defs ++ InfraQueries.defs ++
       MarketModelQueries.defs ++ BacktestQueries.defs ++ CoverageQueries.defs ++
-      SignalQueries2.defs ++ SignalRegistryQueries.defs
+      SignalQueries2.defs ++ SignalRegistryQueries.defs ++ FredQueries.defs ++
+      CorporateActionQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
