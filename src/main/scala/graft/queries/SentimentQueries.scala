@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.runtime.Tables
+
+/** Sentiment scorers over the documents table (SURVEY.md §2.K row 79):
+  * the VADER-style pos/neg/neu/compound bundle with the reference's
+  * 5-label strength bucketing, and the fed hawkish/dovish policy
+  * lexicon. Lexicons are built over the synthetic corpus vocabulary
+  * and inlined as literals on BOTH sides from one Scala Seq (the SRP
+  * hyperplane pattern), with integer ×10 weights so all sums are exact.
+  */
+object SentimentQueries {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Word → valence ×10 (VADER scale is [-4, 4]; these are [-2.7, 2.7]). */
+  private val vaderLexicon10: Seq[(String, Int)] = Seq(
+    "spark"  -> 27,
+    "fast"   -> 21,
+    "big"    -> 15,
+    "stream" -> 12,
+    "merge"  -> 6,
+    "batch"  -> 5,
+    "scan"   -> -4,
+    "filter" -> -7,
+    "small"  -> -9,
+    "slow"   -> -23
+  )
+
+  /** Phrase → weight ×10 (reference weights are [0.0, 1.0]). */
+  private val hawkish10: Seq[(String, Int)] = Seq(
+    "fast scan" -> 9,
+    "spark"     -> 8,
+    "big table" -> 6,
+    "merge"     -> 5,
+    "fast"      -> 3
+  )
+  private val dovish10: Seq[(String, Int)] = Seq(
+    "slow query" -> 9,
+    "slow"       -> 6,
+    "batch"      -> 5,
+    "small"      -> 4,
+    "filter"     -> 2
+  )
+
+  /** Oracle-side snap-round of an int/int ratio: DECIMAL(18,6) first so
+    * exact short-decimal ratios (1/16, 7/80, ...) round away from the
+    * binary-representation boundary identically to Spark's
+    * shortest-repr rounding. */
+  private def oSnap(x: String, n: Int): String =
+    s"CAST(ROUND(CAST($x AS DECIMAL(18,6)), $n) AS DOUBLE) + 0.0"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_sentiment_scores",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        d.withColumn("sent", TextOps.vaderSentiment(col("text"), vaderLexicon10))
+          .select(col("doc_id"), col("lang"), col("sent.compound"),
+            col("sent.positive"), col("sent.negative"), col("sent.neutral"),
+            col("sent.sentiment_label"), col("sent.sentiment_strength"),
+            col("sent.sentiment_intensity"))
+      },
+      Some {
+        val valCase = vaderLexicon10
+          .map { case (w, s) => s"WHEN x = '$w' THEN $s" }
+          .mkString(" ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+          FROM documents
+        ),
+        vals AS (
+          SELECT doc_id, lang,
+            list_transform(t, x -> CASE $valCase ELSE 0 END) AS v
+          FROM toks
+        ),
+        sums AS (
+          SELECT doc_id, lang,
+            CAST(COALESCE(list_sum(v), 0) AS BIGINT) AS s10,
+            CAST(COALESCE(list_sum(list_transform(v, x -> CASE WHEN x > 0 THEN x + 10 ELSE 0 END)), 0) AS BIGINT) AS pos10,
+            CAST(COALESCE(list_sum(list_transform(v, x -> CASE WHEN x < 0 THEN 10 - x ELSE 0 END)), 0) AS BIGINT) AS neg10,
+            CAST(COALESCE(list_sum(list_transform(v, x -> CASE WHEN x = 0 THEN 10 ELSE 0 END)), 0) AS BIGINT) AS neu10
+          FROM vals
+        ),
+        comp AS (
+          SELECT doc_id, lang, pos10, neg10, neu10,
+            pos10 + neg10 + neu10 AS tot,
+            CASE WHEN pos10 + neg10 + neu10 > 0
+                 THEN ROUND((s10 / 10.0) / SQRT((s10 / 10.0) * (s10 / 10.0) + 15.0), 4) + 0.0
+                 ELSE 0.0 END AS compound
+          FROM sums
+        )
+        SELECT doc_id, lang, compound,
+          CASE WHEN tot > 0 THEN ${oSnap("CAST(pos10 AS DOUBLE) / tot", 3)} ELSE 0.0 END AS positive,
+          CASE WHEN tot > 0 THEN ${oSnap("CAST(neg10 AS DOUBLE) / tot", 3)} ELSE 0.0 END AS negative,
+          CASE WHEN tot > 0 THEN ${oSnap("CAST(neu10 AS DOUBLE) / tot", 3)} ELSE 0.0 END AS neutral,
+          CASE WHEN compound >= 0.05 THEN 'positive'
+               WHEN compound <= -0.05 THEN 'negative'
+               ELSE 'neutral' END AS sentiment_label,
+          CASE WHEN compound >= 0.5 THEN 'very_positive'
+               WHEN compound >= 0.05 THEN 'positive'
+               WHEN compound <= -0.5 THEN 'very_negative'
+               WHEN compound <= -0.05 THEN 'negative'
+               ELSE 'neutral' END AS sentiment_strength,
+          ABS(compound) AS sentiment_intensity
+        FROM comp
+      """
+      }
+    ),
+    QueryDef(
+      "q_policy_sentiment",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        d.withColumn("pol", TextOps.policySentiment(col("text"), hawkish10, dovish10))
+          .select(col("doc_id"), col("pol.hawkish_score"), col("pol.dovish_score"),
+            col("pol.net_sentiment_score"),
+            col("pol.total_hawkish_keywords"), col("pol.total_dovish_keywords"))
+      },
+      Some {
+        def cnt(p: String)               = s"len(regexp_extract_all(lower(text), '\\b$p\\b'))"
+        def tot(lex: Seq[(String, Int)]) = lex.map { case (p, w) => s"${cnt(p)} * $w" }.mkString(" + ")
+        def hits(lex: Seq[(String, Int)]) = lex.map { case (p, _) => cnt(p) }.mkString(" + ")
+        val maxH = hawkish10.map(_._2).sum
+        val maxD = dovish10.map(_._2).sum
+        s"""
+        WITH counted AS (
+          SELECT doc_id,
+            CAST(${tot(hawkish10)} AS BIGINT) AS h10,
+            CAST(${tot(dovish10)} AS BIGINT) AS d10,
+            CAST(${hits(hawkish10)} AS BIGINT) AS total_hawkish_keywords,
+            CAST(${hits(dovish10)} AS BIGINT) AS total_dovish_keywords
+          FROM documents
+        )
+        SELECT doc_id,
+          ${oSnap(s"LEAST(CAST(h10 AS DOUBLE) / $maxH, 1.0)", 3)} AS hawkish_score,
+          ${oSnap(s"LEAST(CAST(d10 AS DOUBLE) / $maxD, 1.0)", 3)} AS dovish_score,
+          CASE WHEN h10 + d10 > 0 THEN ${oSnap("CAST(h10 - d10 AS DOUBLE) / (h10 + d10)", 3)}
+               ELSE 0.0 END AS net_sentiment_score,
+          total_hawkish_keywords, total_dovish_keywords
+        FROM counted
+      """
+      }
+    )
+  )
+}
