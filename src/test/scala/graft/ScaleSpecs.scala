@@ -65,4 +65,52 @@ class ScaleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(joined.count() == 3000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("xxhash64 k=64 MinHash recalls every planted near-dup; md5 k=4 path is its subset-or-equal") {
+    import graft.operators.DedupOps
+    // 12 base docs of 40 distinct-ish tokens; each gets a near-copy
+    // with the last 4 tokens edited (shingle Jaccard ~0.85) plus an
+    // unrelated doc — 12 planted pairs, deterministic content.
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    // stride 5 is coprime to |vocab|=14 and the %9 suffix has period 3:
+    // combined period 42 > 40, so all 40 tokens per doc are distinct
+    def doc(seed: Int, n: Int): Seq[String] =
+      (0 until n).map(i => vocab((seed * 31 + i * 5) % vocab.size) + (seed * 13 + i * 3) % 9)
+    val rows = (0 until 12).flatMap { s =>
+      val base = doc(s, 40)
+      Seq(
+        (s * 3L, base.mkString(" ")),
+        (s * 3L + 1, (base.dropRight(4) ++ Seq(s"edit${s}a", s"edit${s}b", s"edit${s}c", s"edit${s}d")).mkString(" ")),
+        (s * 3L + 2, doc(s + 100, 40).mkString(" "))
+      )
+    }
+    val df = rows.toDF("id", "text")
+    // ground truth: brute-force all-pairs exact Jaccard at 0.5
+    val sh = DedupOps.shingleTable(df, "id", "text", 3)
+    val lhs = sh.select(col("id").as("id_a"), col("__sh").as("sh_a"))
+    val rhs = sh.select(col("id").as("id_b"), col("__sh").as("sh_b"))
+    val scored = lhs.crossJoin(rhs).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), DedupOps.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.5).collect()
+    val truth = scored.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs comfortably above threshold: LSH at 16x4 recalls these
+    // near-certainly (P(miss) <= (1-0.7^4)^16 ~ 1.2%); pairs sitting at
+    // j~0.5 are legitimately coin-flip candidates on ANY LSH config
+    val truthHigh = scored.filter(_.getDouble(2) >= 0.7).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truthHigh.size >= 12, s"fixture must plant >=12 high-sim pairs, got ${truthHigh.size}")
+
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = pairs(DedupOps.nearDupPairs(df, "id", "text", 3, numSigs = 4, rowsPerBand = 4, minJaccard = 0.5))
+    val xxPairs  = pairs(DedupOps.nearDupPairsProduction(df, "id", "text", 3, numSigs = 64, rowsPerBand = 4, minJaccard = 0.5))
+    // Jaccard verify keeps precision exact on both paths
+    assert(md5Pairs.subsetOf(truth) && xxPairs.subsetOf(truth))
+    // 16 bands of 4 dominate the single md5 band on this fixture...
+    assert(md5Pairs.subsetOf(xxPairs) && md5Pairs.size < xxPairs.size,
+      s"md5 ${md5Pairs.size} vs xx ${xxPairs.size}")
+    // ...and recall every comfortably-above-threshold pair
+    assert(truthHigh.subsetOf(xxPairs),
+      s"xx missed high-sim pairs: ${truthHigh -- xxPairs}")
+  }
 }
