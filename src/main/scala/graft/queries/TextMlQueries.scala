@@ -65,13 +65,11 @@ object TextMlQueries {
     QueryDef(
       "q_doc_topics",
       (s, dir) => {
-        val (withTfidf, _) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
-        val withTopics     = TextML.topics(withTfidf, k = 8)
-        withTopics
-          .withColumn("dist", vector_to_array(col("topic_dist")))
-          .withColumn("topic_id", expr("array_position(dist, array_max(dist)) - 1").cast("long"))
-          .groupBy(col("topic_id"))
-          .agg(count(lit(1)).as("n_docs"))
+        // true NMF (multiplicative updates) over the TF-IDF matrix;
+        // per-doc argmax topic, cross-checked numerically by
+        // tools/check_numeric.py's bit-mirrored implementation
+        val (withTfidf, vocab) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
+        TextML.nmfTopics(withTfidf, "doc_id", vocab, k = 8)
       },
       None
     ),

@@ -65,19 +65,24 @@ object TextML {
     (idf.transform(tf).drop("__tokens", "__tf"), cvModel.vocabulary)
   }
 
-  /** Explode the top-k TF-IDF terms per document, deterministically
-    * ordered by (score desc, term asc). */
-  def topTerms(withTfidf: DataFrame, idCol: String, vocab: Array[String], k: Int): DataFrame = {
-    val spark = withTfidf.sparkSession
+  /** Explode the full TF-IDF matrix to (id, term, score) triples. */
+  def tfidfTriples(withTfidf: DataFrame, idCol: String, vocab: Array[String]): DataFrame = {
+    val spark       = withTfidf.sparkSession
     val vocabLookup = spark.sparkContext.broadcast(vocab)
     val extract = udf { (v: Vector) =>
       val sv = v.asInstanceOf[SparseVector]
       sv.indices.zip(sv.values).map { case (i, s) => (vocabLookup.value(i), s) }.toSeq
     }
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
     withTfidf
       .select(col(idCol), explode(extract(col("tfidf"))).as("ts"))
       .select(col(idCol), col("ts._1").as("term"), col("ts._2").as("score"))
+  }
+
+  /** Explode the top-k TF-IDF terms per document, deterministically
+    * ordered by (score desc, term asc). */
+  def topTerms(withTfidf: DataFrame, idCol: String, vocab: Array[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tfidfTriples(withTfidf, idCol, vocab)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
@@ -97,8 +102,8 @@ object TextML {
     finally normalized.unpersist(blocking = false)
   }
 
-  /** Seeded LDA topics as the reference's NMF stand-in (ref
-    * sec_document_topics.yml — Spark ML has no NMF; documented swap). */
+  /** Seeded LDA topics (kept alongside true NMF — see [[NMF.fit]],
+    * which is the reference-faithful path for sec_document_topics.yml). */
   def topics(withTf: DataFrame, k: Int = 8, seed: Long = 42L): DataFrame = {
     val lda = new LDA()
       .setK(k).setSeed(seed).setMaxIter(10)
@@ -106,5 +111,20 @@ object TextML {
     val cached = withTf.cache()
     try lda.fit(cached).transform(cached)
     finally cached.unpersist(blocking = false)
+  }
+
+  /** True NMF document topics (ref sec_document_topics.yml:8-25): fit
+    * W H ≈ TF-IDF, assign each doc its argmax-weight topic (ties → the
+    * lowest topic id, matching numpy argmax). Returns
+    * (id, topic_id, topic_weight). */
+  def nmfTopics(withTfidf: DataFrame, idCol: String, vocab: Array[String], k: Int = 8): DataFrame = {
+    val triples = tfidfTriples(withTfidf, idCol, vocab)
+    val (w, _)  = NMF.fit(triples, idCol, "term", "score", k)
+    val packed  = array((0 until k).map(t => struct(col(s"w_$t").as("w"), lit(-t).as("negT"))): _*)
+    w.select(
+      col(idCol),
+      (-array_max(packed).getField("negT")).cast("long").as("topic_id"),
+      round(array_max(packed).getField("w"), 6).as("topic_weight")
+    )
   }
 }

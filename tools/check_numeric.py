@@ -303,7 +303,10 @@ def check_mst():
 
 
 # ---------------------------------------------------- q_tfidf_top_terms
-def check_tfidf():
+def build_tfidf():
+    """Mirror of TextML.tfidf (tokenize, english stopwords, minDF 2,
+    maxDF 0.85, vocab 1000): returns (doc_terms tf dicts, eligible
+    vocab set, idf dict). None when the stopword list is unavailable."""
     jars = glob.glob("/opt/spark/jars/spark-mllib*.jar")
     stop = set()
     for jar in jars:
@@ -315,8 +318,7 @@ def check_tfidf():
             except KeyError:
                 continue
     if not stop:
-        report("q_tfidf_top_terms", 0, 1, 1.0, "stopword list not found in spark jars")
-        return
+        return None
     docs = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchdf()
     m = len(docs)
     tok_re = re.compile(r"[a-zA-Z]{3,20}")
@@ -340,6 +342,15 @@ def check_tfidf():
         eligible = {t for t in eligible
                     if sum(dt.get(t, 0) for dt in doc_terms.values()) > cut}
     idf = {t: math.log((m + 1) / (df_count[t] + 1)) for t in eligible}
+    return doc_terms, eligible, idf
+
+
+def check_tfidf():
+    built = build_tfidf()
+    if built is None:
+        report("q_tfidf_top_terms", 0, 1, 1.0, "stopword list not found in spark jars")
+        return
+    doc_terms, eligible, idf = built
     rows = []
     for doc_id, tf in doc_terms.items():
         scored = sorted(((tf[t] * idf[t], t) for t in tf if t in eligible),
@@ -386,7 +397,88 @@ def check_ivf():
            "cosine values + ordering (cell membership is seeded-KMeans)")
 
 
-# -------------------------------------------- q_doc_clusters / q_doc_topics
+# ----------------------------------------------------------- q_doc_topics
+MASK64 = (1 << 64) - 1
+
+
+def _mix(a, b):
+    """Bit-mirror of graft.textml.NMF.mix (splitmix64 finalizer)."""
+    z = (a * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & MASK64
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & MASK64
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & MASK64
+    z ^= z >> 31
+    return (z >> 11) / float(1 << 53) + 1e-3
+
+
+def _jhash(s):
+    """Java String.hashCode (signed 32-bit), as NMF.termHash sees it."""
+    h = 0
+    for c in s:
+        h = (31 * h + ord(c)) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def check_nmf(k=8, outer=10, inner=5):
+    built = build_tfidf()
+    if built is None:
+        report("q_doc_topics", 0, 1, 1.0, "stopword list not found in spark jars")
+        return
+    doc_terms, eligible, idf = built
+    vocab = sorted(eligible)
+    tidx = {t: j for j, t in enumerate(vocab)}
+    m = len(vocab)
+    docs = {}
+    for d, tf in doc_terms.items():
+        terms = sorted((tidx[t], tf[t] * idf[t]) for t in tf if t in eligible)
+        if terms:
+            docs[int(d)] = (np.array([i for i, _ in terms]),
+                            np.array([v for _, v in terms]))
+    H = np.array([[_mix(t, _jhash(vocab[j])) for j in range(m)] for t in range(k)])
+
+    def w_row(d, idxs, vals, H, HHt):
+        numer = H[:, idxs] @ vals
+        w = np.array([_mix(d, t) for t in range(k)])
+        for _ in range(inner):
+            denom = w @ HHt
+            w = w * numer / np.maximum(denom, 1e-12)
+        return w
+
+    for _ in range(outer):
+        HHt = H @ H.T
+        A = np.zeros((k, m))
+        B = np.zeros((k, k))
+        for d in sorted(docs):
+            idxs, vals = docs[d]
+            w = w_row(d, idxs, vals, H, HHt)
+            A[:, idxs] += np.outer(w, vals)
+            B += np.outer(w, w)
+        H = H * A / np.maximum(B @ H, 1e-12)
+
+    HHt = H @ H.T
+    rows = []
+    for d in sorted(docs):
+        idxs, vals = docs[d]
+        w = w_row(d, idxs, vals, H, HHt)
+        t_best = int(np.argmax(w))
+        sw = np.sort(w)
+        rows.append((d, t_best, w[t_best], sw[-1] - sw[-2]))
+    mine = pd.DataFrame(rows, columns=["doc_id", "topic_id", "topic_weight", "gap"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    sp = pd.read_parquet(f"{OUT}/q_doc_topics").sort_values("doc_id").reset_index(drop=True)
+    if len(mine) != len(sp) or (mine["doc_id"].to_numpy() != sp["doc_id"].to_numpy()).any():
+        report("q_doc_topics", len(sp), 1, 1.0, "doc set mismatch")
+        return
+    same = mine["topic_id"].to_numpy() == sp["topic_id"].to_numpy()
+    flips = (~same) & (mine["gap"].to_numpy() > 1e-6)  # real disagreement, not a float tie
+    wdev = np.abs(mine["topic_weight"].to_numpy() - sp["topic_weight"].to_numpy())[same]
+    bad = int(flips.sum()) + int((wdev > 1e-4).sum())
+    report("q_doc_topics", len(sp), bad, float(wdev.max()) if len(wdev) else 0.0,
+           f"true-NMF argmax topics, {int((~same).sum())} float-tie flips tolerated")
+
+
+# --------------------------------------------------------- q_doc_clusters
 def check_partition_counts(q):
     sp = pd.read_parquet(f"{OUT}/{q}")
     n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
@@ -403,7 +495,7 @@ check_mst()
 check_tfidf()
 check_ivf()
 check_partition_counts("q_doc_clusters")
-check_partition_counts("q_doc_topics")
+check_nmf()
 
 print(f"\n{8 - len(failures)} passed, {len(failures)} failed")
 sys.exit(1 if failures else 0)
