@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Full-text search over a documents table (ref macro_agents sec/fts.py
+  * :27-80): a denormalized posting-list index + Okapi BM25 keyword
+  * ranking (the Spark-native equivalent of the reference's BigQuery
+  * SEARCH INDEX + SEARCH() pair).
+  *
+  * Scale posture: the index build is one explode + hash aggregation
+  * (shuffle on (term, doc)); a query touches only the postings of its
+  * terms — filter pushdown on `term` prunes the scan when the index is
+  * stored partitioned/bucketed by term. Doc-count and average-length
+  * scalars ride along as a broadcast single-row frame.
+  */
+object FtsOps {
+
+  /** Posting-list index: one row per (term, doc) with the term
+    * frequency. Store partitioned by term for pruned keyword scans. */
+  def postingsIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(DedupOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc token counts (BM25 length normalization). */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), size(DedupOps.tokens(col(textCol))).cast("long").as("dl"))
+
+  /** Okapi BM25 over the posting-list index for a bag of query terms.
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    * contribution = idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)).
+    * Per-term contributions are snapped to DECIMAL(18,6) and summed
+    * exactly (order-independent across engines); `bm25_exact` (the
+    * decimal sum) is the ranking key, `bm25` the round-4 display
+    * value. Returns (id, n_hits, bm25, rank).
+    */
+  def bm25Search(
+      postings: DataFrame,
+      lengths: DataFrame,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val stats = lengths.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = postings.filter(col("term").isin(queryTerms: _*))
+    val docFreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_exact").desc, col(idCol).asc)
+    matched
+      .join(broadcast(docFreq), Seq("term"))
+      .join(lengths, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        sum(contrib.cast(DecimalType(18, 6))).as("bm25_exact")
+      )
+      // global ranking window: the matched-doc set is query-bounded
+      // (docs containing >=1 query term); for corpus-wide scoring jobs
+      // rank per partition key instead
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("n_hits"),
+        round(col("bm25_exact").cast("double"), 4).as("bm25"), col("rank"))
+  }
+}

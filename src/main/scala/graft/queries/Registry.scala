@@ -11,7 +11,8 @@ object Registry {
       SignalQueries.defs ++ TextMlQueries.defs ++ InfraQueries.defs ++
       MarketModelQueries.defs ++ BacktestQueries.defs ++ CoverageQueries.defs ++
       SignalQueries2.defs ++ SignalRegistryQueries.defs ++ FredQueries.defs ++
-      CorporateActionQueries.defs ++ SentimentQueries.defs ++ SinkQueries.defs
+      CorporateActionQueries.defs ++ SentimentQueries.defs ++ SinkQueries.defs ++
+      FtsQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
