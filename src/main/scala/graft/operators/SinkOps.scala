@@ -38,6 +38,33 @@ object SinkOps {
   def alignedUnion(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
 
+  /** Incremental partition-overwrite write: replaces exactly the
+    * partitions present in `updates`, leaving every other partition
+    * untouched — the parquet-native fast path for the reference's
+    * incremental MERGE story (bigquery_warehouse.py:124-179) when the
+    * grain of change is a partition (ingest date, symbol-month, ...).
+    * Unlike the dedup-union rewrite this never reads or rewrites the
+    * untouched data, and re-running the same batch is idempotent.
+    * At cluster scale this is the insert_overwrite strategy every
+    * incremental model wants: cost ∝ changed partitions, not table
+    * size. Restores the session's partitionOverwriteMode afterwards.
+    */
+  def overwritePartitions(
+      updates: DataFrame,
+      path: String,
+      partitionCols: Seq[String]
+  ): Unit = {
+    val spark = updates.sparkSession
+    val key   = "spark.sql.sources.partitionOverwriteMode"
+    val prev  = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** SCD Type-2 apply (ref markets/assets.py:87-224): given the current
     * dimension (with dateStarted/dateEnded, NULL dateEnded = active)
     * and a fresh full snapshot, close rows whose attributes changed or

@@ -129,4 +129,29 @@ class InfraSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(0)._3 - ('a'.toInt + 'b' + 'c' + 'd') / 4.0 / 255.0) < 1e-12)
     assert(out(1)._2 == Seq(0.0f, 0.0f, 0.0f, 0.0f) && out(1)._3 == 0.0)
   }
+
+  test("overwritePartitions replaces only the touched partitions, idempotently") {
+    import graft.operators.SinkOps
+    val dir = Files.createTempDirectory("graft-po").toString
+    val base = Seq(
+      ("2024-01", 1L, "a"), ("2024-01", 2L, "b"),
+      ("2024-02", 3L, "c"), ("2024-03", 4L, "d")
+    ).toDF("month", "id", "v")
+    SinkOps.overwritePartitions(base, dir, Seq("month"))
+    // batch touching only 2024-02: one changed row, one new row
+    val batch = Seq(("2024-02", 3L, "C2"), ("2024-02", 9L, "x")).toDF("month", "id", "v")
+    SinkOps.overwritePartitions(batch, dir, Seq("month"))
+    def snapshot() = spark.read.parquet(dir)
+      .select("month", "id", "v").as[(String, Long, String)].collect().toSet
+    val expected = Set(
+      ("2024-01", 1L, "a"), ("2024-01", 2L, "b"),
+      ("2024-02", 3L, "C2"), ("2024-02", 9L, "x"),
+      ("2024-03", 4L, "d"))
+    assert(snapshot() == expected)
+    // re-running the same batch must not duplicate or drop anything
+    SinkOps.overwritePartitions(batch, dir, Seq("month"))
+    assert(snapshot() == expected)
+    // session conf restored (back to the static default)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode").equalsIgnoreCase("static"))
+  }
 }
