@@ -30,4 +30,16 @@ object QueryDef {
     sum(c.cast(DecimalType(18, 6))).cast("double") / count(c)
 
   def r4(c: Column): Column = round(c, 4)
+
+  /** round(x, n) with a DECIMAL(18,6) snap first: values whose intended
+    * decimal expansion lands exactly on a half boundary (diffs/halves
+    * of round-4 inputs, int/int ratios) round engine-dependently on
+    * raw doubles; snapping to 6 decimals (error ≪ 5e-7) makes both
+    * engines round the same exact decimal. Pair with [[oSnap]]. */
+  def rsnap(c: Column, n: Int): Column =
+    round(c.cast(DecimalType(18, 6)), n).cast("double")
+
+  /** Oracle-side mirror of [[rsnap]] (+0.0 normalizes -0.0). */
+  def oSnap(x: String, n: Int): String =
+    s"CAST(ROUND(CAST($x AS DECIMAL(18,6)), $n) AS DOUBLE) + 0.0"
 }

@@ -12,7 +12,7 @@ object Registry {
       MarketModelQueries.defs ++ BacktestQueries.defs ++ CoverageQueries.defs ++
       SignalQueries2.defs ++ SignalRegistryQueries.defs ++ FredQueries.defs ++
       CorporateActionQueries.defs ++ SentimentQueries.defs ++ SinkQueries.defs ++
-      FtsQueries.defs ++ XmlQueries.defs
+      FtsQueries.defs ++ XmlQueries.defs ++ MarketSummaryQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
