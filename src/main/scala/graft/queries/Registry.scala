@@ -12,7 +12,8 @@ object Registry {
       MarketModelQueries.defs ++ BacktestQueries.defs ++ CoverageQueries.defs ++
       SignalQueries2.defs ++ SignalRegistryQueries.defs ++ FredQueries.defs ++
       CorporateActionQueries.defs ++ SentimentQueries.defs ++ SinkQueries.defs ++
-      FtsQueries.defs ++ XmlQueries.defs ++ MarketSummaryQueries.defs
+      FtsQueries.defs ++ XmlQueries.defs ++ MarketSummaryQueries.defs ++
+      MarketAnalysisQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
