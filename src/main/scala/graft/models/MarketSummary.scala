@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.queries.QueryDef.{dsum, oSnap, rsnap}
+import graft.queries.QueryDef.{dsum, oDivRound, oSnap, rsnap}
 
 /** 1:1 replication of the reference's `calculate_market_summary` macro
   * (dbt_project/macros/calculate_market_summary.sql) — the template
@@ -122,21 +122,6 @@ object MarketSummary {
         rsnap(col("max_adj"), 2).as("best_day_change"),
         rsnap(col("period_start_price"), 2).as("period_start_price"),
         rsnap(col("period_end_price"), 2).as("period_end_price"))
-  }
-
-  /** Exact mirror of Spark's decimal-division + round pipeline:
-    * q6 = half-up(num/den, 6) then half-up(q6, n), all in HUGEINT
-    * floor-division (never a double in the rounding path). `numInt`
-    * must be the scale-6 integer form of the numerator (value ×10⁶),
-    * `denInt` a positive integer. */
-  private def oDivRound(numInt: String, denInt: String, n: Int): String = {
-    val outDiv = math.pow(10, 6 - n).toLong
-    val tenN   = math.pow(10, n).toLong
-    s"""(CASE WHEN ($numInt) < 0 THEN -1.0 ELSE 1.0 END
-        * CAST((2 * ((2 * ABS(CAST($numInt AS HUGEINT)) + CAST($denInt AS HUGEINT))
-                     // (2 * CAST($denInt AS HUGEINT)))
-                + $outDiv) // (2 * $outDiv) AS DOUBLE)
-        / $tenN.0 + 0.0)"""
   }
 
   /** DuckDB oracle for the same template; `uniCte` must define `uni`

@@ -101,6 +101,21 @@ object TimeSeriesOps {
       valueCol: String,
       alpha: Double,
       outCol: String = "ema"
+  ): DataFrame = recursiveEmaCoef(df, keyCol, ordCol, valueCol, alpha, 1.0 - alpha, outCol)
+
+  /** [[recursiveEma]] with an EXPLICIT complement coefficient: some
+    * reference models hard-code literal pairs like (0.1818181818,
+    * 0.8181818182) whose parsed doubles are not exact IEEE complements
+    * of each other — `beta` must then be that literal, not 1-alpha
+    * (market_breadth_signals.sql:186-188). */
+  def recursiveEmaCoef(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double,
+      outCol: String
   ): DataFrame = {
     val spark = df.sparkSession
     val prepared = df
@@ -119,7 +134,7 @@ object TimeSeriesOps {
         var e: Double      = 0.0
         it.map { case (k, o, v) =>
           if (k != curKey) { curKey = k; e = v }
-          else e = alpha * v + (1.0 - alpha) * e
+          else e = alpha * v + beta * e
           (k, o, e)
         }
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble))

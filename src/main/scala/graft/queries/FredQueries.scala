@@ -52,8 +52,10 @@ object FredQueries {
   private def oR2snap(x: String): String =
     s"CAST(ROUND(CAST($x AS DECIMAL(18,6)), 2) AS DOUBLE) + 0.0"
 
-  /** One observation row per (series_code, d): daily-grain staging. */
-  private def fredSeries(s: SparkSession, dir: String): DataFrame = {
+  /** One observation row per (series_code, d): daily-grain staging.
+    * Shared with the other government named models (fred_series_grain,
+    * housing_mortgage_rates). */
+  def fredSeries(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir).lineitem
     def fam(code: org.apache.spark.sql.Column) =
       li.groupBy(code.as("series_code"), to_date(col("l_shipdate")).as("d"))
@@ -64,7 +66,7 @@ object FredQueries {
       .withColumn("series_name", concat(lit("Series "), col("series_code")))
   }
 
-  private val fredSeriesSql = """
+  val fredSeriesSql = """
     fred AS (
       SELECT series_code, 'Series ' || series_code AS series_name, d,
              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS value

@@ -67,7 +67,7 @@ object MarketAnalysisQueries {
       .withColumn("exchange", lit(exchange))
   }
 
-  private def uniCte(bucketSql: String, exchange: String): String = s"""
+  def uniCte(bucketSql: String, exchange: String): String = s"""
     uni AS (
       SELECT *, close * 0.5 AS adj_close, high * 0.5 AS adj_high,
         low * 0.5 AS adj_low, volume * 2 AS adj_volume,

@@ -42,4 +42,26 @@ object QueryDef {
   /** Oracle-side mirror of [[rsnap]] (+0.0 normalizes -0.0). */
   def oSnap(x: String, n: Int): String =
     s"CAST(ROUND(CAST($x AS DECIMAL(18,6)), $n) AS DOUBLE) + 0.0"
+
+  /** Spark side of the exact int-ratio rounding pair: divide in
+    * DECIMAL(38,6) (exact half-up at scale 6) then round — int-ratio
+    * quotients (decimal-sum / count) land on exact rational halves
+    * where any double-based rounding is engine-dependent. Mirror with
+    * [[oDivRound]]. `num` must be a DECIMAL column, `den` integral. */
+  def rdiv(num: Column, den: Column, n: Int): Column =
+    round(num.cast(DecimalType(38, 6)) / den, n).cast("double")
+
+  /** Oracle-side mirror of [[rdiv]]: q6 = half-up(num/den, 6) then
+    * half-up(q6, n), all in HUGEINT floor-division. `numInt` is the
+    * scale-6 integer form of the numerator (value ×10⁶), `denInt` a
+    * positive integer. */
+  def oDivRound(numInt: String, denInt: String, n: Int): String = {
+    val outDiv = math.pow(10, 6 - n).toLong
+    val tenN   = math.pow(10, n).toLong
+    s"""(CASE WHEN ($numInt) < 0 THEN -1.0 ELSE 1.0 END
+        * CAST((2 * ((2 * ABS(CAST($numInt AS HUGEINT)) + CAST($denInt AS HUGEINT))
+                     // (2 * CAST($denInt AS HUGEINT)))
+                + $outDiv) // (2 * $outDiv) AS DOUBLE)
+        / $tenN.0 + 0.0)"""
+  }
 }

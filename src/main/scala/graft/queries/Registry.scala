@@ -13,7 +13,7 @@ object Registry {
       SignalQueries2.defs ++ SignalRegistryQueries.defs ++ FredQueries.defs ++
       CorporateActionQueries.defs ++ SentimentQueries.defs ++ SinkQueries.defs ++
       FtsQueries.defs ++ XmlQueries.defs ++ MarketSummaryQueries.defs ++
-      MarketAnalysisQueries.defs
+      MarketAnalysisQueries.defs ++ HousingQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
