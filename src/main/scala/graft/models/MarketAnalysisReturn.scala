@@ -23,9 +23,15 @@ import graft.queries.QueryDef.{oSnap, rsnap}
   * width-18 multiply); high/low round-4 snaps through DECIMAL
   * ([[rsnap]]); pct changes are ratios of near-arbitrary doubles —
   * plain round on both sides. One window family per horizon set (all
-  * frames share (symbol, exchange) ORDER BY day-number), and the five
-  * lookbacks are projected equi self-joins on (symbol, exchange,
-  * date+k) — single shuffle key at scale.
+  * frames share (symbol, exchange) ORDER BY day-number).
+  *
+  * Scale plan: the five calendar lookbacks are ONE equi join, not
+  * five — each daily row is exploded to its five (date+k) landing
+  * dates, pivoted back to one row per landing date, and left-joined
+  * once on (symbol, exchange, date). `daily` is persisted so the
+  * universe aggregation of the fact table runs exactly once however
+  * many branches consume it (at 100 TB the alternative is six full
+  * fact-table scans).
   */
 object MarketAnalysisReturn {
 
@@ -33,24 +39,34 @@ object MarketAnalysisReturn {
     Seq(365 -> "1yr", 270 -> "9mo", 180 -> "6mo", 90 -> "3mo", 30 -> "1mo")
 
   /** `uni` columns: symbol, exchange, date, close, high, low, volume,
-    * adj_close, adj_high, adj_low, adj_volume. */
+    * adj_close, adj_high, adj_low, adj_volume.
+    *
+    * `daily` is persisted; callers run a terminal action and the
+    * session-level `spark.catalog.clearCache()` between queries (as
+    * Verify/Bench do) owns cleanup.
+    */
   def analysisReturn(uni: DataFrame): DataFrame = {
     val wLag = Window.partitionBy(col("symbol"), col("exchange")).orderBy(col("date"))
     val daily = uni
       .filter(col("adj_close").isNotNull)
       .withColumn("daily_diff", col("adj_close") - lag(col("adj_close"), 1).over(wLag))
-    val withLb = Horizons.map(_._1).foldLeft(daily) { (acc, d) =>
-      val prior = daily.select(
-        col("symbol").as(s"__s_$d"), col("exchange").as(s"__e_$d"),
-        date_add(col("date"), d).as(s"__d_$d"),
-        col("adj_close").as(s"price_${d}d_ago"))
-      acc
-        .join(prior,
-          col("symbol") === col(s"__s_$d") && col("exchange") === col(s"__e_$d") &&
-            col("date") === col(s"__d_$d"),
-          "left")
-        .drop(s"__s_$d", s"__e_$d", s"__d_$d")
-    }
+      .persist()
+    val offsets = Horizons.map(_._1)
+    val landings = daily
+      .select(col("symbol").as("__s"), col("exchange").as("__e"),
+        col("date").as("__from"), col("adj_close").as("__px"))
+      .withColumn("__off", explode(array(offsets.map(lit): _*)))
+      .groupBy(col("__s"), col("__e"),
+        date_add(col("__from"), col("__off")).as("__d"))
+      .agg(
+        max(when(col("__off") === offsets.head, col("__px"))).as(s"price_${offsets.head}d_ago"),
+        offsets.tail.map(d => max(when(col("__off") === d, col("__px"))).as(s"price_${d}d_ago")): _*)
+    val withLb = daily
+      .join(landings,
+        col("symbol") === col("__s") && col("exchange") === col("__e") &&
+          col("date") === col("__d"),
+        "left")
+      .drop("__s", "__e", "__d")
     def w(days: Int) = Window
       .partitionBy(col("symbol"), col("exchange"))
       .orderBy(epochDay(col("date")))

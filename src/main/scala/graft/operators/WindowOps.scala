@@ -70,11 +70,25 @@ object WindowOps {
     * kept; ref ta_primitives.sql:84-126). alpha = 2/(span+1) for EMA,
     * 1/n for Wilder smoothing. Requires a position column (e.g.
     * row_number over the same window ordering).
+    *
+    * Pow-ratio identity: weight_i = decay^(curPos - pos_i)
+    * = decay^curPos · decay^(-pos_i), and the decay^curPos factor
+    * cancels between numerator and denominator — so the EWM is a ratio
+    * of two plain windowed SUMs of pre-scaled terms (whole-stage
+    * codegen, zero per-row allocation), not a collect_list array fold.
+    * Overflow bound: decay^(-pos) stays finite while
+    * pos·|ln decay| < ~700; worst alpha here (0.2 → decay 0.8,
+    * |ln| 0.223) allows ~3100 rows per key — above any trading-history
+    * partition at our SFs. For longer histories re-base pos per key
+    * (pos - min(pos) over the partition) before calling.
     */
   def ewm(value: Column, pos: Column, w: WindowSpec, window: Int, alpha: Double): Column = {
-    val arr = collect_list(struct(pos.as("pos"), value.as("v")))
-      .over(w.rowsBetween(-(window - 1), 0))
-    ewmFromArray(arr, pos, alpha)
+    val decay = 1.0 - alpha
+    val f     = w.rowsBetween(-(window - 1), 0)
+    val wgt   = pow(lit(decay), -pos)
+    val num   = sum(value * wgt).over(f)
+    val den   = sum(when(value.isNotNull, wgt)).over(f)
+    num / den
   }
 
   /** Rolling OLS of y on x from windowed moments (ref

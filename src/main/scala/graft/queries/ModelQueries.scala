@@ -66,7 +66,8 @@ object ModelQueries {
           "pct_off_52w_high", "rel_volume", "zscore60",
           "plus_di", "minus_di", "adx14", "cci20", "mfi14"
         )
-        floatCols.foldLeft(out)((acc, c) => acc.withColumn(c, r4(col(c))))
+        out.select(out.columns.map(c =>
+          if (floatCols.contains(c)) r4(col(c)).as(c) else col(c)): _*)
       },
       Some(s"""
         WITH $barsSqlPublic,

@@ -251,25 +251,25 @@ object TimeSeriesQueries {
         GROUP BY 1, 2
       """)
     ),
-    // Expanding/trailing percentile rank via range self-join
-    // (credit_market_signals.sql:81-97; turbulence_index.py:124-130)
+    // Expanding/trailing percentile rank
+    // (credit_market_signals.sql:81-97; turbulence_index.py:124-130).
+    // Window-range form, NOT a range self-join: the join amplifies every
+    // row ×365 through a shuffle before re-aggregating — at 100 TB that
+    // is the dominant cost. Here each row folds its trailing-365d value
+    // array inside one per-key window sort (O(365) work per row, no
+    // join, no row blowup); the oracle keeps the equivalent join form.
     QueryDef(
       "q_trailing_percentile_rank",
       (s, dir) => {
-        val base = series(s, dir).select(col("flag"), col("d"), col("v"))
-        val hist = base.select(col("flag").as("hflag"), col("d").as("hd"), col("v").as("hv"))
-        base
-          .join(
-            hist,
-            col("hflag") === col("flag") &&
-              col("hd") <= col("d") && col("hd") > date_sub(col("d"), 365)
-          )
-          .groupBy(col("flag"), col("d"), col("v"))
-          .agg(
-            (sum(when(col("hv") <= col("v"), 1).otherwise(0)).cast("double") /
-              count(lit(1))).as("pct_rank_1y"),
-            count(lit(1)).as("n_hist")
-          )
+        val wr = Window.partitionBy(col("flag"))
+          .orderBy(epochDay(col("d")))
+          .rangeBetween(-364, 0)
+        val arr = collect_list(col("v")).over(wr)
+        series(s, dir)
+          .select(col("flag"), col("d"), col("v"),
+            (size(filter(arr, x => x <= col("v"))).cast("double") /
+              size(arr)).as("pct_rank_1y"),
+            size(arr).cast("long").as("n_hist"))
       },
       Some(s"""
         WITH $seriesSql
