@@ -634,7 +634,9 @@ object FredSignalQueries {
 
     val wf = Window.orderBy(col("f_d"))
     val latestDeficit = stg.filter(col("series_code") === "FYFSGDA188S" && col("value").isNotNull)
-      .select(col("f_d"), col("deficit_gdp_pct"), col("deficit_1y_ago"), col("rn"))
+      .select(col("date").as("f_d"), col("value").as("deficit_gdp_pct"))
+      .withColumn("deficit_1y_ago", lag(col("deficit_gdp_pct"), 1).over(wf))
+      .withColumn("rn", row_number().over(Window.orderBy(col("f_d").desc)))
       .filter(col("rn") === 1)
 
     fiscalBody(debt, interest, latestDeficit, s, dir)

@@ -13,7 +13,8 @@ object Registry {
       SignalQueries2.defs ++ SignalRegistryQueries.defs ++ FredQueries.defs ++
       CorporateActionQueries.defs ++ SentimentQueries.defs ++ SinkQueries.defs ++
       FtsQueries.defs ++ XmlQueries.defs ++ MarketSummaryQueries.defs ++
-      MarketAnalysisQueries.defs ++ HousingQueries.defs
+      MarketAnalysisQueries.defs ++ HousingQueries.defs ++
+      FredSignalQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
