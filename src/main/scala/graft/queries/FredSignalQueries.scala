@@ -62,6 +62,13 @@ object FredSignalQueries {
     i
   }
 
+  /** Series whose synthetic observations land on month / quarter starts
+    * (one row per period) — matching the reference's cadence where a
+    * model JOINS on truncated dates and a daily-dense series would
+    * either fan out rows or leave the join empty. */
+  val MonthlyGrain: Set[String]   = Set("KCFSI")
+  val QuarterlyGrain: Set[String] = Set("GDPC1")
+
   /** stg_fred_series slice for `codes`: ONE lineitem scan, persisted.
     * Columns: series_code, date, value, literal. */
   def stgFred(s: SparkSession, dir: String, codes: Seq[String]): DataFrame = {
@@ -70,10 +77,19 @@ object FredSignalQueries {
     val codeExpr = codes.zip(idxs).foldLeft(lit(null).cast("string")) {
       case (acc, (c, i)) => when(idxCol === i, lit(c)).otherwise(acc)
     }
+    val monthlyIdxs   = codes.filter(MonthlyGrain).map(idxOf)
+    val quarterlyIdxs = codes.filter(QuarterlyGrain).map(idxOf)
+    val d0 = to_date(col("l_shipdate"))
+    val dateExpr =
+      when(idxCol.isin(monthlyIdxs.map(Int.box): _*),
+        date_trunc("month", d0).cast("date"))
+        .when(idxCol.isin(quarterlyIdxs.map(Int.box): _*),
+          date_trunc("quarter", d0).cast("date"))
+        .otherwise(d0)
     T(s, dir).lineitem
       .filter(idxCol.isin(idxs.map(Int.box): _*))
       .groupBy(codeExpr.as("series_code"), (col("l_partkey") % 61).as("sidx"),
-        to_date(col("l_shipdate")).as("date"))
+        dateExpr.as("date"))
       .agg(r4(dsum(col("l_extendedprice")) / count(lit(1))).as("value"))
       .withColumn("literal",
         when((epochDay(col("date")) + col("sidx")) % 29 === 0, lit(null).cast("double"))
@@ -87,6 +103,19 @@ object FredSignalQueries {
     val idxs  = codes.map(idxOf)
     val cases = codes.zip(idxs)
       .map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString(" ")
+    val mIdx = codes.filter(MonthlyGrain).map(idxOf)
+    val qIdx = codes.filter(QuarterlyGrain).map(idxOf)
+    val dateExpr =
+      (if (mIdx.isEmpty && qIdx.isEmpty) "CAST(l_shipdate AS DATE)"
+       else {
+         val m = if (mIdx.nonEmpty)
+           s"WHEN l_partkey % 61 IN (${mIdx.mkString(",")}) THEN CAST(DATE_TRUNC('month', l_shipdate) AS DATE)"
+         else ""
+         val q = if (qIdx.nonEmpty)
+           s"WHEN l_partkey % 61 IN (${qIdx.mkString(",")}) THEN CAST(DATE_TRUNC('quarter', l_shipdate) AS DATE)"
+         else ""
+         s"CASE $m $q ELSE CAST(l_shipdate AS DATE) END"
+       })
     s"""
     stg AS (
       SELECT series_code, date, value,
@@ -95,7 +124,7 @@ object FredSignalQueries {
       FROM (
         SELECT CASE l_partkey % 61 $cases END AS series_code,
                l_partkey % 61 AS sidx,
-               CAST(l_shipdate AS DATE) AS date,
+               $dateExpr AS date,
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) + 0.0 AS value
         FROM lineitem

@@ -14,7 +14,8 @@ object Registry {
       CorporateActionQueries.defs ++ SentimentQueries.defs ++ SinkQueries.defs ++
       FtsQueries.defs ++ XmlQueries.defs ++ MarketSummaryQueries.defs ++
       MarketAnalysisQueries.defs ++ HousingQueries.defs ++
-      FredSignalQueries.defs
+      FredSignalQueries.defs ++ FredSignalQueries2.defs ++
+      FredSignalQueries3.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
