@@ -15,7 +15,8 @@ object Registry {
       FtsQueries.defs ++ XmlQueries.defs ++ MarketSummaryQueries.defs ++
       MarketAnalysisQueries.defs ++ HousingQueries.defs ++
       FredSignalQueries.defs ++ FredSignalQueries2.defs ++
-      FredSignalQueries3.defs
+      FredSignalQueries3.defs ++ CrossAssetQueries.defs ++
+      CrossAssetQueries2.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
