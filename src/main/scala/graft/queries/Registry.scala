@@ -16,7 +16,8 @@ object Registry {
       MarketAnalysisQueries.defs ++ HousingQueries.defs ++
       FredSignalQueries.defs ++ FredSignalQueries2.defs ++
       FredSignalQueries3.defs ++ CrossAssetQueries.defs ++
-      CrossAssetQueries2.defs ++ BreadthQueries.defs
+      CrossAssetQueries2.defs ++ BreadthQueries.defs ++
+      TechnicalSignalQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
