@@ -54,7 +54,8 @@ object FredSignalQueries {
     "NFCILEVERAGE", "NFCINONFINLEVERAGE", "DRCCLACBS", "DRTSCILM", "DRTSCIS",
     "PAYEMS", "GDPC1",
     "T10Y2Y", "FEDFUNDS", "BAMLH0A0HYM2", "BAMLC0A4CBBB", "BAMLC0A1CAAA",
-    "DFII10")
+    "DFII10",
+    "INDPRO", "T10Y3M", "CFNAIMA3", "USSLIND")
 
   def idxOf(code: String): Int = {
     val i = Codes.indexOf(code)

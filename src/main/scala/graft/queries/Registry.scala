@@ -17,7 +17,7 @@ object Registry {
       FredSignalQueries.defs ++ FredSignalQueries2.defs ++
       FredSignalQueries3.defs ++ CrossAssetQueries.defs ++
       CrossAssetQueries2.defs ++ BreadthQueries.defs ++
-      TechnicalSignalQueries.defs
+      TechnicalSignalQueries.defs ++ AnalysisQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
