@@ -17,7 +17,8 @@ object Registry {
       FredSignalQueries.defs ++ FredSignalQueries2.defs ++
       FredSignalQueries3.defs ++ CrossAssetQueries.defs ++
       CrossAssetQueries2.defs ++ BreadthQueries.defs ++
-      TechnicalSignalQueries.defs ++ AnalysisQueries.defs
+      TechnicalSignalQueries.defs ++ AnalysisQueries.defs ++
+      AnalysisQueries2.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
