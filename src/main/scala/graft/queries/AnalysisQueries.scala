@@ -45,7 +45,7 @@ object AnalysisQueries {
   // economic_regime_classification (ref, 239 LoC)
   // ------------------------------------------------------------------
 
-  private val RegimeCodes = Seq("INDPRO", "UNRATE", "PAYEMS", "CPIAUCSL", "PCEPILFE",
+  val RegimeCodes: Seq[String] = Seq("INDPRO", "UNRATE", "PAYEMS", "CPIAUCSL", "PCEPILFE",
     "T10Y2Y", "T10Y3M", "CFNAIMA3", "USSLIND", "ICSA", "UMCSENT", "IPMAN", "NFCI")
 
   /** (month_date, <13 pivot cols>) from the monthly MAX pivot. */

@@ -18,7 +18,8 @@ object Registry {
       FredSignalQueries3.defs ++ CrossAssetQueries.defs ++
       CrossAssetQueries2.defs ++ BreadthQueries.defs ++
       TechnicalSignalQueries.defs ++ AnalysisQueries.defs ++
-      AnalysisQueries2.defs ++ AnalysisQueries3.defs
+      AnalysisQueries2.defs ++ AnalysisQueries3.defs ++
+      AnalysisQueries4.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
