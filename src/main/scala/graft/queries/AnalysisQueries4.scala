@@ -771,7 +771,209 @@ object AnalysisQueries4 {
   """
   }
 
+  // ------------------------------------------------------------------
+  // portfolio_macro_factors (ref, 194 LoC)
+  // ------------------------------------------------------------------
+
+  /** (series_code, macro_factor, sub_factor) — the reference's full
+    * 70-entry literal (portfolio_macro_factors.sql:10-105); IPMAN and
+    * MANEMP intentionally appear under two factors, duplicating their
+    * sensitivity rows through the INNER JOIN exactly as the reference
+    * does. */
+  val FactorMapping: Seq[(String, String, String)] = Seq(
+    ("CPIAUCSL", "Inflation", "Core Inflation"), ("CPILFESL", "Inflation", "Core Inflation"),
+    ("CPIAUCNS", "Inflation", "Core Inflation"), ("CPILFENS", "Inflation", "Core Inflation"),
+    ("PCEPI", "Inflation", "Core Inflation"), ("PCEPILFE", "Inflation", "Core Inflation"),
+    ("MEDCPIM158SFRBCLE", "Inflation", "Core Inflation"),
+    ("CORESTICKM159SFRBATL", "Inflation", "Sticky Inflation"),
+    ("STICKCPIM159SFRBATL", "Inflation", "Sticky Inflation"),
+    ("PCETRIM12M159SFRBDAL", "Inflation", "Core Inflation"),
+    ("T10YIE", "Inflation", "Inflation Expectations"),
+    ("T5YIE", "Inflation", "Inflation Expectations"),
+    ("T5YIFR", "Inflation", "Inflation Expectations"),
+    ("PPIACO", "Inflation", "Producer Prices"), ("PPIFIS", "Inflation", "Producer Prices"),
+    ("PPIFID", "Inflation", "Producer Prices"), ("CPIENGSL", "Inflation", "Energy Inflation"),
+    ("PAYEMS", "Employment", "Jobs"), ("UNRATE", "Employment", "Unemployment"),
+    ("U6RATE", "Employment", "Unemployment"), ("ICSA", "Employment", "Unemployment Claims"),
+    ("ICSA4WMA", "Employment", "Unemployment Claims"),
+    ("JTSJOL", "Employment", "Job Openings"), ("JTSQUR", "Employment", "Job Turnover"),
+    ("CIVPART", "Employment", "Labor Participation"),
+    ("EMRATIO", "Employment", "Labor Participation"),
+    ("CE16OV", "Employment", "Jobs"), ("MANEMP", "Employment", "Manufacturing Jobs"),
+    ("USCONS", "Employment", "Construction Jobs"), ("AHETPI", "Employment", "Wages"),
+    ("ECIWAG", "Employment", "Wages"),
+    ("GDP", "Growth", "GDP"), ("GDPC1", "Growth", "GDP"), ("GDPC96", "Growth", "GDP"),
+    ("A191RL1Q225SBEA", "Growth", "GDP"),
+    ("INDPRO", "Growth", "Industrial Production"),
+    ("IPMAN", "Growth", "Industrial Production"),
+    ("TCU", "Growth", "Capacity Utilization"),
+    ("CAPUTLG2211S", "Growth", "Capacity Utilization"),
+    ("RSXFS", "Growth", "Retail Sales"), ("RRSFS", "Growth", "Retail Sales"),
+    ("PCE", "Growth", "Consumer Spending"), ("PCEC96", "Growth", "Consumer Spending"),
+    ("CFNAI", "Growth", "Economic Activity"), ("CFNAIMA3", "Growth", "Economic Activity"),
+    ("USSLIND", "Growth", "Leading Indicators"),
+    ("HOUST", "Housing", "Housing Starts"), ("HOUST1F", "Housing", "Housing Starts"),
+    ("PERMIT", "Housing", "Building Permits"), ("NHSDPTS", "Housing", "Home Sales"),
+    ("EXHOSLUSM495S", "Housing", "Home Sales"), ("CSUSHPISA", "Housing", "Home Prices"),
+    ("MSPUS", "Housing", "Home Prices"), ("MORTGAGE30US", "Housing", "Mortgage Rates"),
+    ("MORTGAGE15US", "Housing", "Mortgage Rates"),
+    ("UMCSENT", "Consumer", "Consumer Sentiment"),
+    ("CSCICP03USM665S", "Consumer", "Consumer Confidence"),
+    ("PSAVERT", "Consumer", "Savings Rate"), ("DSPIC96", "Consumer", "Income"),
+    ("PI", "Consumer", "Income"),
+    ("DFF", "Rates", "Fed Funds"), ("FEDFUNDS", "Rates", "Fed Funds"),
+    ("DGS10", "Rates", "Treasury Yields"), ("TB10YR", "Rates", "Treasury Yields"),
+    ("TB2YR", "Rates", "Treasury Yields"), ("T10Y2Y", "Rates", "Yield Curve"),
+    ("T10Y3M", "Rates", "Yield Curve"), ("VIXCLS", "Financial", "Volatility"),
+    ("NFCI", "Financial", "Financial Conditions"),
+    ("NFCICREDIT", "Financial", "Credit Conditions"),
+    ("BAMLC0A0CM", "Financial", "Credit Spreads"),
+    ("BAMLH0A0HYM2", "Financial", "Credit Spreads"),
+    ("TEDRATE", "Financial", "Credit Spreads"),
+    ("IPMAN", "Business", "Manufacturing Production"),
+    ("NEWORDER", "Business", "Manufacturing Orders"),
+    ("MANEMP", "Business", "Manufacturing Employment"),
+    ("BPEA", "Business", "Business Outlook"),
+    ("GACDISA066MSFRBNY", "Business", "Regional Surveys"))
+
+  private def portfolioMacroFactors(s: SparkSession, dir: String): DataFrame = {
+    val fm = {
+      import s.implicits._
+      FactorMapping.toDF("fm_code", "macro_factor", "sub_factor")
+    }
+    val sfs0 = sensitivityFrame(s, dir)
+      .filter(col("sensitivity_score").isNotNull)
+      .join(broadcast(fm), col("series_code") === col("fm_code"))
+      .select(col("symbol"), col("sector_name"), col("macro_factor"), col("sub_factor"),
+        col("series_code"), col("sensitivity_score"), col("corr_1mo_contemp"),
+        col("corr_3mo_contemp"), col("best_lag_correlation_abs"))
+
+    val scores = sfs0
+      .groupBy(col("symbol"), col("sector_name"), col("macro_factor"))
+      .agg(
+        countDistinct(col("series_code")).as("indicator_count"),
+        rdiv(sum(col("sensitivity_score").cast(DecimalType(18, 6))), count(lit(1)), 2)
+          .as("avg_sensitivity"),
+        rsnap(max(col("sensitivity_score")), 2).as("max_sensitivity"),
+        rdiv(sum(abs(col("corr_1mo_contemp")).cast(DecimalType(18, 6))), count(lit(1)), 4)
+          .as("avg_abs_correlation"),
+        rdiv(sum(col("best_lag_correlation_abs").cast(DecimalType(18, 6))), count(lit(1)), 4)
+          .as("avg_lag_correlation"),
+        rsnap(
+          (sum(col("sensitivity_score").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))) * 0.6 +
+            (sum(col("best_lag_correlation_abs").cast(DecimalType(18, 6))).cast("double") /
+              count(lit(1))) * 100 * 0.4, 2).as("factor_exposure_score"),
+        concat_ws(", ", array_sort(array_distinct(collect_list(col("sub_factor")))))
+          .as("sub_factors"))
+
+    val agg = scores
+      .groupBy(col("symbol").as("sa_sym"))
+      .agg(
+        sum(col("indicator_count")).cast("long").as("total_indicators"),
+        rdiv(sum(col("factor_exposure_score").cast(DecimalType(18, 6))), count(lit(1)), 2)
+          .as("overall_macro_exposure"),
+        max(when(col("macro_factor") === "Inflation", col("factor_exposure_score")))
+          .as("inflation_exposure"),
+        max(when(col("macro_factor") === "Employment", col("factor_exposure_score")))
+          .as("employment_exposure"),
+        max(when(col("macro_factor") === "Growth", col("factor_exposure_score")))
+          .as("growth_exposure"),
+        max(when(col("macro_factor") === "Housing", col("factor_exposure_score")))
+          .as("housing_exposure"),
+        max(when(col("macro_factor") === "Consumer", col("factor_exposure_score")))
+          .as("consumer_exposure"),
+        max(when(col("macro_factor") === "Rates", col("factor_exposure_score")))
+          .as("rates_exposure"),
+        max(when(col("macro_factor") === "Financial", col("factor_exposure_score")))
+          .as("financial_exposure"),
+        max(when(col("macro_factor") === "Business", col("factor_exposure_score")))
+          .as("business_exposure"))
+
+    val wRank = Window.partitionBy(col("macro_factor"))
+      .orderBy(col("factor_exposure_score").desc)
+    scores
+      .join(agg, col("symbol") === col("sa_sym"))
+      .select(
+        col("symbol"), col("sector_name"), col("macro_factor"), col("indicator_count"),
+        col("avg_sensitivity"), col("max_sensitivity"), col("avg_abs_correlation"),
+        col("avg_lag_correlation"), col("factor_exposure_score"), col("sub_factors"),
+        col("overall_macro_exposure"), col("inflation_exposure"),
+        col("employment_exposure"), col("growth_exposure"), col("housing_exposure"),
+        col("consumer_exposure"), col("rates_exposure"), col("financial_exposure"),
+        col("business_exposure"),
+        rank().over(wRank).cast("long").as("factor_rank"))
+  }
+
+  private val portfolioMacroFactorsSql: String = {
+    val rows = FactorMapping
+      .map { case (c, f, sf) => s"('$c', '$f', '$sf')" }.mkString(",\n        ")
+    s"""
+    WITH ${stgFredSql(FredCodes)},
+    $sensitivityCtesSql,
+    factor_mapping AS (
+      SELECT * FROM (VALUES
+        $rows
+      ) AS t(fm_code, macro_factor, sub_factor)
+    ),
+    sector_factor_sensitivity AS (
+      SELECT sis.symbol, sis.sector_name, fm.macro_factor, fm.sub_factor,
+        sis.series_code, sis.sensitivity_score, sis.corr_1mo_contemp,
+        sis.corr_3mo_contemp, sis.best_lag_correlation_abs
+      FROM sens sis
+      INNER JOIN factor_mapping fm ON sis.series_code = fm.fm_code
+      WHERE sis.sensitivity_score IS NOT NULL
+    ),
+    sector_factor_scores AS (
+      SELECT symbol, sector_name, macro_factor,
+        COUNT(DISTINCT series_code) AS indicator_count,
+        ${oDivRound("CAST(SUM(CAST(sensitivity_score AS DECIMAL(18,6))) * 1000000 AS HUGEINT)",
+      "COUNT(*)", 2)} AS avg_sensitivity,
+        ${oSnap("MAX(sensitivity_score)", 2)} AS max_sensitivity,
+        ${oDivRound("CAST(SUM(CAST(ABS(corr_1mo_contemp) AS DECIMAL(18,6))) * 1000000 AS HUGEINT)",
+      "COUNT(*)", 4)} AS avg_abs_correlation,
+        ${oDivRound("CAST(SUM(CAST(best_lag_correlation_abs AS DECIMAL(18,6))) * 1000000 AS HUGEINT)",
+      "COUNT(*)", 4)} AS avg_lag_correlation,
+        ${oSnap(
+      """(CAST(SUM(CAST(sensitivity_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 0.6
+         + (CAST(SUM(CAST(best_lag_correlation_abs AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 100 * 0.4""",
+      2)} AS factor_exposure_score,
+        STRING_AGG(DISTINCT sub_factor, ', ' ORDER BY sub_factor) AS sub_factors
+      FROM sector_factor_sensitivity
+      GROUP BY symbol, sector_name, macro_factor
+    ),
+    sector_aggregate AS (
+      SELECT symbol AS sa_sym,
+        CAST(SUM(indicator_count) AS BIGINT) AS total_indicators,
+        ${oDivRound("CAST(SUM(CAST(factor_exposure_score AS DECIMAL(18,6))) * 1000000 AS HUGEINT)",
+      "COUNT(*)", 2)} AS overall_macro_exposure,
+        MAX(CASE WHEN macro_factor = 'Inflation' THEN factor_exposure_score END) AS inflation_exposure,
+        MAX(CASE WHEN macro_factor = 'Employment' THEN factor_exposure_score END) AS employment_exposure,
+        MAX(CASE WHEN macro_factor = 'Growth' THEN factor_exposure_score END) AS growth_exposure,
+        MAX(CASE WHEN macro_factor = 'Housing' THEN factor_exposure_score END) AS housing_exposure,
+        MAX(CASE WHEN macro_factor = 'Consumer' THEN factor_exposure_score END) AS consumer_exposure,
+        MAX(CASE WHEN macro_factor = 'Rates' THEN factor_exposure_score END) AS rates_exposure,
+        MAX(CASE WHEN macro_factor = 'Financial' THEN factor_exposure_score END) AS financial_exposure,
+        MAX(CASE WHEN macro_factor = 'Business' THEN factor_exposure_score END) AS business_exposure
+      FROM sector_factor_scores
+      GROUP BY symbol
+    )
+    SELECT sfs.symbol, sfs.sector_name, sfs.macro_factor, sfs.indicator_count,
+      sfs.avg_sensitivity, sfs.max_sensitivity, sfs.avg_abs_correlation,
+      sfs.avg_lag_correlation, sfs.factor_exposure_score, sfs.sub_factors,
+      sa.overall_macro_exposure, sa.inflation_exposure, sa.employment_exposure,
+      sa.growth_exposure, sa.housing_exposure, sa.consumer_exposure,
+      sa.rates_exposure, sa.financial_exposure, sa.business_exposure,
+      CAST(RANK() OVER (PARTITION BY sfs.macro_factor
+        ORDER BY sfs.factor_exposure_score DESC) AS BIGINT) AS factor_rank
+    FROM sector_factor_scores sfs
+    INNER JOIN sector_aggregate sa ON sfs.symbol = sa.sa_sym
+  """
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_portfolio_macro_factors", portfolioMacroFactors,
+      Some(portfolioMacroFactorsSql)),
     QueryDef("q_sector_indicator_sensitivity", sensitivityFrame,
       Some(s"""WITH ${stgFredSql(FredCodes)}, $sensitivityCtesSql SELECT * FROM sens""")),
     QueryDef("q_sector_sensitivity_summary", sensitivitySummary,
