@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Training-data deduplication operators over a documents table.
   *
+  * Cache ownership: the shingle/signature frames marked `.cache()`
+  * below are materialized lazily by the caller's terminal action and
+  * stay cached for plan reuse within that query — CALLERS OWN CLEANUP
+  * via `spark.catalog.clearCache()` (as Verify/Bench do between
+  * queries) or by unpersisting after their action; repeated calls in a
+  * long-lived session otherwise accumulate cached blocks until LRU
+  * eviction.
+  *
   * All hashing is md5-hex so an external SQL oracle (DuckDB) computes
   * byte-identical values; at production scale the same shapes run with
   * xxhash64 for speed (flip [[hashCol]]).

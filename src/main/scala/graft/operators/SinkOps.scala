@@ -47,23 +47,20 @@ object SinkOps {
     * untouched data, and re-running the same batch is idempotent.
     * At cluster scale this is the insert_overwrite strategy every
     * incremental model wants: cost ∝ changed partitions, not table
-    * size. Restores the session's partitionOverwriteMode afterwards.
+    * size. The mode is set per-WRITER (DataFrameWriter option takes
+    * precedence over the session conf), so concurrent writes on the
+    * same session are unaffected — no session-conf mutate/restore.
     */
   def overwritePartitions(
       updates: DataFrame,
       path: String,
       partitionCols: Seq[String]
-  ): Unit = {
-    val spark = updates.sparkSession
-    val key   = "spark.sql.sources.partitionOverwriteMode"
-    val prev  = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try updates.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  ): Unit =
+    updates.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 
   /** SCD Type-2 apply (ref markets/assets.py:87-224): given the current
     * dimension (with dateStarted/dateEnded, NULL dateEnded = active)

@@ -19,7 +19,8 @@ object Registry {
       CrossAssetQueries2.defs ++ BreadthQueries.defs ++
       TechnicalSignalQueries.defs ++ AnalysisQueries.defs ++
       AnalysisQueries2.defs ++ AnalysisQueries3.defs ++
-      AnalysisQueries4.defs ++ TreasuryEarningsQueries.defs
+      AnalysisQueries4.defs ++ TreasuryEarningsQueries.defs ++
+      MiscModelQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

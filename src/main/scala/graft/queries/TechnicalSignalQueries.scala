@@ -189,7 +189,7 @@ object TechnicalSignalQueries {
   }
 
   /** Oracle mirror of [[indicators]] (`ti` CTE; needs `bars`). */
-  private val indicatorsSql: String = {
+  val indicatorsSql: String = {
     def ewmSql(x: String, decay: String, win: String): String =
       s"""(SUM($x * POW($decay, -pos)) OVER $win
          / SUM(CASE WHEN $x IS NOT NULL THEN POW($decay, -pos) END) OVER $win)"""
@@ -285,7 +285,7 @@ object TechnicalSignalQueries {
   // technical_signal_events — flagged → stated → classified
   // ------------------------------------------------------------------
 
-  private def signalEvents(s: SparkSession, dir: String): DataFrame = {
+  def signalEvents(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("d"))
     val withPrev = indicators(s, dir)
       .withColumn("prev_close", lag(col("close"), 1).over(w))
@@ -346,7 +346,7 @@ object TechnicalSignalQueries {
         lit(MaxHoldingBars).cast("long").as("max_holding_bars"))
   }
 
-  private val eventsCteSql: String = {
+  val eventsCteSql: String = {
     val flaggedSelects = Registry.map { sg =>
       s"""SELECT symbol, d, bars, close, relative_volume,
           '${sg.name}' AS signal_name, '${sg.family}' AS indicator_name,

@@ -28,7 +28,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn(
       "ts",
-      timestamp_micros((col("ts") / 1000L).cast("long"))
+      timestamp_micros(expr("ts div 1000"))
     )
   }
   def documents: DataFrame  = t("documents")

@@ -98,15 +98,19 @@ object NMF {
       innerSteps: Int = 5
   ): (DataFrame, Map[String, Array[Double]]) = {
     val spark = triples.sparkSession
+    // null doc/term/value triples would MatchError the RDD extractor
+    // below (and a null term NPEs the vocabulary sort) — drop them up
+    // front; the reference's vectorizer likewise never emits them
+    val clean = triples.na.drop(Seq(docCol, termCol, valCol))
     // vocabulary sorted by term string: index is deterministic and the
     // factorization itself is order-independent (hash-keyed init)
-    val vocab = triples.select(termCol).distinct()
+    val vocab = clean.select(termCol).distinct()
       .collect().map(_.getString(0)).sorted
     val m        = vocab.length
     val termIdx  = vocab.zipWithIndex.toMap
     val termIdxB = spark.sparkContext.broadcast(termIdx)
 
-    val docsRdd = triples
+    val docsRdd = clean
       .select(col(docCol).cast("long"), col(termCol), col(valCol).cast("double"))
       .rdd
       .map { case Row(d: Long, t: String, v: Double) => (d, (termIdxB.value(t), v)) }
