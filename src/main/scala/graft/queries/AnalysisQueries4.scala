@@ -59,12 +59,12 @@ object AnalysisQueries4 {
     ("XLE", "Energy", "Cyclical"),
     ("XLV", "Health Care", "Defensive"))
 
-  private def etfBucket: Column = EtfSymbols.zipWithIndex
+  def etfBucket: Column = EtfSymbols.zipWithIndex
     .foldLeft(lit(null).cast("string")) { case (acc, (sym, i)) =>
       when(col("l_suppkey") % 11 === i, lit(sym)).otherwise(acc)
     }
 
-  private val etfBucketSql: String = {
+  val etfBucketSql: String = {
     val cases = EtfSymbols.zipWithIndex
       .map { case (sym, i) => s"WHEN $i THEN '$sym'" }.mkString(" ")
     s"CASE l_suppkey % 11 $cases END"

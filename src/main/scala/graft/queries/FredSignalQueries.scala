@@ -18,7 +18,7 @@ import graft.runtime.Tables
   * (replaced, as in the FRED family, by the corpus max ship date as a
   * deterministic anchor).
   *
-  * Staging: the fred-like series table maps `l_partkey % 61` onto the
+  * Staging: the fred-like series table maps `l_partkey % 97` onto the
   * reference's FRED series codes (one synthetic series per code), with
   * `value` = exact round-4 daily mean and `literal` = value behind the
   * reference's NULL-able raw reading (a deterministic (epoch-day+idx)
@@ -40,7 +40,7 @@ object FredSignalQueries {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** Canonical synthetic-series index: code -> l_partkey % 61 residue. */
+  /** Canonical synthetic-series index: code -> l_partkey % 97 residue. */
   val Codes: Seq[String] = Seq(
     "M2SL", "M1SL", "BUSLOANS", "TOTALSL", "M2V", "WALCL", "RRPONTSYD",
     "CPIAUCSL", "PCEPILFE", "T5YIE", "T10YIE",
@@ -55,7 +55,9 @@ object FredSignalQueries {
     "PAYEMS", "GDPC1",
     "T10Y2Y", "FEDFUNDS", "BAMLH0A0HYM2", "BAMLC0A4CBBB", "BAMLC0A1CAAA",
     "DFII10",
-    "INDPRO", "T10Y3M", "CFNAIMA3", "USSLIND")
+    "INDPRO", "T10Y3M", "CFNAIMA3", "USSLIND",
+    "CIVPART", "JTSHIR", "TCU", "RSXFS", "PCEC96", "CSUSHPISA", "EXPGS", "PI",
+    "VIXCLS", "WTREGEN")
 
   def idxOf(code: String): Int = {
     val i = Codes.indexOf(code)
@@ -74,7 +76,7 @@ object FredSignalQueries {
     * Columns: series_code, date, value, literal. */
   def stgFred(s: SparkSession, dir: String, codes: Seq[String]): DataFrame = {
     val idxs   = codes.map(idxOf)
-    val idxCol = col("l_partkey") % 61
+    val idxCol = col("l_partkey") % 97
     val codeExpr = codes.zip(idxs).foldLeft(lit(null).cast("string")) {
       case (acc, (c, i)) => when(idxCol === i, lit(c)).otherwise(acc)
     }
@@ -89,7 +91,7 @@ object FredSignalQueries {
         .otherwise(d0)
     T(s, dir).lineitem
       .filter(idxCol.isin(idxs.map(Int.box): _*))
-      .groupBy(codeExpr.as("series_code"), (col("l_partkey") % 61).as("sidx"),
+      .groupBy(codeExpr.as("series_code"), (col("l_partkey") % 97).as("sidx"),
         dateExpr.as("date"))
       .agg(r4(dsum(col("l_extendedprice")) / count(lit(1))).as("value"))
       .withColumn("literal",
@@ -110,10 +112,10 @@ object FredSignalQueries {
       (if (mIdx.isEmpty && qIdx.isEmpty) "CAST(l_shipdate AS DATE)"
        else {
          val m = if (mIdx.nonEmpty)
-           s"WHEN l_partkey % 61 IN (${mIdx.mkString(",")}) THEN CAST(DATE_TRUNC('month', l_shipdate) AS DATE)"
+           s"WHEN l_partkey % 97 IN (${mIdx.mkString(",")}) THEN CAST(DATE_TRUNC('month', l_shipdate) AS DATE)"
          else ""
          val q = if (qIdx.nonEmpty)
-           s"WHEN l_partkey % 61 IN (${qIdx.mkString(",")}) THEN CAST(DATE_TRUNC('quarter', l_shipdate) AS DATE)"
+           s"WHEN l_partkey % 97 IN (${qIdx.mkString(",")}) THEN CAST(DATE_TRUNC('quarter', l_shipdate) AS DATE)"
          else ""
          s"CASE $m $q ELSE CAST(l_shipdate AS DATE) END"
        })
@@ -123,13 +125,13 @@ object FredSignalQueries {
         CASE WHEN ((date - DATE '1970-01-01') + sidx) % 29 = 0 THEN NULL
              ELSE value END AS literal
       FROM (
-        SELECT CASE l_partkey % 61 $cases END AS series_code,
-               l_partkey % 61 AS sidx,
+        SELECT CASE l_partkey % 97 $cases END AS series_code,
+               l_partkey % 97 AS sidx,
                $dateExpr AS date,
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 4) + 0.0 AS value
         FROM lineitem
-        WHERE l_partkey % 61 IN (${idxs.mkString(", ")})
+        WHERE l_partkey % 97 IN (${idxs.mkString(", ")})
         GROUP BY 1, 2, 3
       )
     )"""
