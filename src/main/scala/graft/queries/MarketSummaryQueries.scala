@@ -67,7 +67,7 @@ object MarketSummaryQueries {
       .withColumn("name", concat(lit("Name "), col("symbol")))
   }
 
-  private def uniCte(bucketSql: String, assetType: String, exchange: String): String = s"""
+  def uniCte(bucketSql: String, assetType: String, exchange: String): String = s"""
     uni AS (
       SELECT *, open * 0.5 AS adj_open, close * 0.5 AS adj_close,
         '$assetType' AS asset_type, '$exchange' AS exchange,

@@ -310,7 +310,7 @@ object MiscModelQueries {
   private val Horizons     = Seq(1, 5, 10, 21, 63, 126)
   private val ExcursionBars = 21
 
-  private def signalInstances(s: SparkSession, dir: String): DataFrame = {
+  def signalInstances(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("d"))
     val fEx = w.rowsBetween(1, ExcursionBars)
     val spine = ModelQueries.bars(s, dir)
@@ -366,7 +366,7 @@ object MiscModelQueries {
             .as(s"worked_${h}d"))): _*)
   }
 
-  private val signalInstancesSql: String = {
+  val signalInstancesSqlPublic: String = {
     val fwdCols = Horizons
       .map(h => s"LEAD(close, $h) OVER wsym AS fwd_close_$h").mkString(",\n        ")
     val benchCols = Horizons.map(h =>
@@ -438,6 +438,6 @@ object MiscModelQueries {
     QueryDef("q_market_economic_analysis", marketEconomicAnalysis,
       Some(marketEconomicAnalysisSql)),
     QueryDef("q_stg_reddit_posts", redditPosts, Some(redditPostsSql)),
-    QueryDef("q_technical_signal_instances", signalInstances, Some(signalInstancesSql))
+    QueryDef("q_technical_signal_instances", signalInstances, Some(signalInstancesSqlPublic))
   )
 }
