@@ -201,7 +201,7 @@ object MiscModelQueries {
   // stg_reddit_posts (ref, 49 LoC)
   // ------------------------------------------------------------------
 
-  private def redditPosts(s: SparkSession, dir: String): DataFrame = {
+  def redditPosts(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir).events
     val sub = when(col("user_id") % 5 === 0, "Stocks")
       .when(col("user_id") % 5 === 1, "investing")
@@ -252,7 +252,7 @@ object MiscModelQueries {
         coalesce(col("author") === "[deleted]", lit(false)).as("is_deleted"))
   }
 
-  private val redditPostsSql: String = """
+  val redditPostsSql: String = """
     WITH src AS (
       SELECT event_id AS post_id, props AS title,
         CASE WHEN event_id % 31 = 0 THEN NULL
