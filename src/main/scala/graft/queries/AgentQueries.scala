@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.models.MarketSummary
+import org.apache.spark.sql.DataFrame
 import graft.queries.QueryDef.{oDivRound, rdiv}
 
 /** Agent-facing projections (refs dbt_project/models/agents_preprocess/
@@ -189,8 +190,44 @@ object AgentQueries {
   """
   }
 
+  // ------------------------------------------------------------------
+  // agent_technical_signal_setups (ref, 35 LoC)
+  // ------------------------------------------------------------------
+
+  private def signalSetups(s: SparkSession, dir: String): DataFrame =
+    TechnicalSignalQueries.currentSetups(s, dir)
+      .select(
+        col("symbol"), col("d").as("as_of_date"),
+        col("signal_name"), col("indicator_name"), col("signal_side"),
+        col("signal_state"),
+        when(col("signal_state") === "setup",
+          "Pre-trigger condition present; signal has not fired yet")
+          .when(col("signal_state") === "triggered",
+            "Signal fired on the most recent bar")
+          .when(col("signal_state") === "active",
+            "Signal fired recently and is still inside its holding window")
+          .as("state_description"),
+        col("signal_value"), col("close").as("last_close"),
+        col("relative_volume"), col("volume_confirmed"),
+        col("trigger_date"), col("setup_date"),
+        col("bars_since_trigger"), col("max_holding_bars"))
+
+  private val signalSetupsSql: String = s"""
+    SELECT symbol, d AS as_of_date, signal_name, indicator_name, signal_side,
+      signal_state,
+      CASE signal_state
+        WHEN 'setup' THEN 'Pre-trigger condition present; signal has not fired yet'
+        WHEN 'triggered' THEN 'Signal fired on the most recent bar'
+        WHEN 'active' THEN 'Signal fired recently and is still inside its holding window'
+      END AS state_description,
+      signal_value, close AS last_close, relative_volume, volume_confirmed,
+      trigger_date, setup_date, bars_since_trigger, max_holding_bars
+    FROM (${TechnicalSignalQueries.currentSetupsSql})
+  """
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_agent_market_performance", marketPerformance, Some(marketPerformanceSql)),
-    QueryDef("q_agent_technical_signal_history", signalHistory, Some(signalHistorySql))
+    QueryDef("q_agent_technical_signal_history", signalHistory, Some(signalHistorySql)),
+    QueryDef("q_agent_technical_signal_setups", signalSetups, Some(signalSetupsSql))
   )
 }

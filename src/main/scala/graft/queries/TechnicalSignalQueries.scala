@@ -423,7 +423,7 @@ object TechnicalSignalQueries {
   // technical_current_setups — latest bar per symbol, 14-day staleness
   // ------------------------------------------------------------------
 
-  private def currentSetups(s: SparkSession, dir: String): DataFrame = {
+  def currentSetups(s: SparkSession, dir: String): DataFrame = {
     val events = signalEvents(s, dir)
     val maxD = Tables(s, dir).lineitem.agg(max(to_date(col("l_shipdate"))).as("__maxd"))
     val latest = events.groupBy(col("symbol").as("lb_sym")).agg(max(col("d")).as("latest_date"))
@@ -436,7 +436,7 @@ object TechnicalSignalQueries {
       .drop("lb_sym", "latest_date")
   }
 
-  private val currentSetupsSql: String = s"""
+  val currentSetupsSql: String = s"""
     WITH ${ModelQueries.barsSqlPublic},
     $indicatorsSql,
     $eventsCteSql,
