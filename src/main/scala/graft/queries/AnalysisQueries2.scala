@@ -93,12 +93,37 @@ object AnalysisQueries2 {
     )"""
 
   def baseHistorical(s: SparkSession, dir: String): DataFrame = {
-    val rt = Universes.map { case (_, bucket, _, ex, cat) =>
-      MarketAnalysisReturn.analysisReturn(
-        MarketAnalysisQueries.universe(s, dir, bucket, ex))
-        .select((Seq(col("symbol"), col("exchange"), col("date")) ++
-          ReturnCols.map(col) :+ lit(cat).as("category")): _*)
-    }.reduce(_ unionAll _)
+    // ONE fact scan for all five universes: each lineitem row explodes
+    // to its five (symbol, exchange) tags, then a single groupBy and a
+    // single analysisReturn run — the per-universe window partitions
+    // (symbol, exchange) never interact because every universe has a
+    // distinct symbol prefix, so results are identical to five separate
+    // runs at one fifth of the scan/aggregation cost.
+    val key = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    val tags = array(Universes.map { case (_, bucket, _, ex, _) =>
+      struct(bucket.as("sym"), lit(ex).as("ex"))
+    }: _*)
+    val uniExact = T(s, dir).lineitem
+      .select(col("l_extendedprice"), col("l_quantity"), col("l_shipdate"),
+        key.as("__k"), explode(tags).as("u"))
+      .groupBy(col("u.sym").as("symbol"), col("u.ex").as("exchange"),
+        to_date(col("l_shipdate")).as("date"))
+      .agg(
+        max(col("l_extendedprice")).as("high"),
+        min(col("l_extendedprice")).as("low"),
+        max_by(col("l_extendedprice"), col("__k")).as("close"),
+        QueryDef.r4(QueryDef.dsum(col("l_quantity"))).as("volume"))
+      .withColumn("adj_close", col("close") * 0.5)
+      .withColumn("adj_high", col("high") * 0.5)
+      .withColumn("adj_low", col("low") * 0.5)
+      .withColumn("adj_volume", col("volume") * 2)
+    val catCol = Universes.foldLeft(lit(null).cast("string")) {
+      case (acc, (_, _, _, ex, cat)) => when(col("exchange") === ex, lit(cat)).otherwise(acc)
+    }
+    val rt = MarketAnalysisReturn.analysisReturn(uniExact)
+      .select((Seq(col("symbol"), col("exchange"), col("date")) ++
+        ReturnCols.map(col) :+ catCol.as("category")): _*)
     rt.join(fredMonthly(s, dir), col("date") === col("f_date"), "left")
       .select((Seq(col("symbol"), col("exchange"), col("date")) ++
         ReturnCols.map(col) ++
