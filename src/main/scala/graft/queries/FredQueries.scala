@@ -57,19 +57,26 @@ object FredQueries {
     * housing_mortgage_rates). */
   def fredSeries(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir).lineitem
+    // per-day value is an int-ratio quotient (decimal sum / count):
+    // divide in DECIMAL so .xxxx5 boundaries round half-up identically
+    // on both engines (rdiv pattern; a raw-double round is
+    // engine-dependent exactly on those boundaries)
     def fam(code: org.apache.spark.sql.Column) =
       li.groupBy(code.as("series_code"), to_date(col("l_shipdate")).as("d"))
-        .agg(r4(dsum(col("l_extendedprice")) / count(lit(1))).as("value"))
+        .agg(QueryDef.rdiv(sum(col("l_extendedprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
+          .as("value"))
     fam(concat(lit("flag_"), col("l_returnflag")))
       .unionAll(fam(concat(lit("supp_"), col("l_suppkey") % 23)))
       .unionAll(fam(concat(lit("part_"), col("l_partkey") % 4999)))
       .withColumn("series_name", concat(lit("Series "), col("series_code")))
   }
 
-  val fredSeriesSql = """
+  val fredSeriesSql = s"""
     fred AS (
       SELECT series_code, 'Series ' || series_code AS series_name, d,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS value
+             ${QueryDef.oDivRound(
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT)",
+    "COUNT(*)", 4)} AS value
       FROM (
         SELECT 'flag_' || l_returnflag AS series_code, CAST(l_shipdate AS DATE) AS d, l_extendedprice FROM lineitem
         UNION ALL
