@@ -681,10 +681,150 @@ object AnalysisQueries2 {
   """
   }
 
+  // ------------------------------------------------------------------
+  // leading_econ_return_indicator_snapshot (ref backtesting/, 125 LoC)
+  // ------------------------------------------------------------------
+
+  /** PIT variant of leadingEcon (ref leading_econ_return_indicator_
+    * snapshot.sql): bha fanned over a month-start spine with
+    * date <= snapshot_date (prefix windows — no 5y floor), correlation
+    * branch only, LAG keyed by (snapshot_date, symbol, series_name).
+    * Two reference quirks replicated: `return_difference` repeats
+    * avg_q1_return_econ_down (ref :124 — copy-paste twin of the base
+    * model's up-minus-down), and there is no quintile branch. The
+    * spine cutoff maps the reference's data-availability knob into the
+    * synthetic range (bha is computed once; each snapshot is an
+    * independent aggregation partition on top of it).
+    */
+  private val LeadingEconSnapCutoff = "1998-07-01"
+
+  private def leadingEconSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val bhaDf = baseHistorical(s, dir)
+    val spine = bhaDf
+      .filter(col("date") >= to_date(lit(LeadingEconSnapCutoff)))
+      .select(trunc(col("date"), "month").as("snapshot_date"))
+      .distinct()
+    val snapBha = bhaDf
+      .filter(col("value").isNotNull && col("series_name").isNotNull)
+      .withColumn("economic_category",
+        FredCodes.foldLeft(lit(null).cast("string")) { (acc, c) =>
+          when(col("series_name") === s"Series $c", lit(category(c))).otherwise(acc)
+        })
+      .filter(col("economic_category").isNotNull)
+      .join(broadcast(spine), col("date") <= col("snapshot_date"))
+    val wSer = Window.partitionBy(col("snapshot_date"), col("symbol"), col("series_name"))
+      .orderBy(col("date"))
+    val ec = snapBha.select(
+        col("snapshot_date"), col("symbol"), col("date"), col("series_name"), col("category"),
+        col("economic_category"), col("value"),
+        col("pct_change_3mo").as("pct_change_q1"),
+        col("pct_change_6mo").as("pct_change_q2"),
+        col("pct_change_9mo").as("pct_change_q3"),
+        lag(col("value"), 1).over(wSer).as("prev_econ_value"))
+      .withColumn("econ_mom_change_pct",
+        when(col("prev_econ_value").isNotNull && col("prev_econ_value") =!= 0,
+          (col("value") - col("prev_econ_value")) / col("prev_econ_value") * 100))
+      .filter(col("econ_mom_change_pct").isNotNull)
+    def condSum(cond: Column, v: Column): Column =
+      sum(when(cond, v).cast(DecimalType(18, 6)))
+    val agg = ec
+      .groupBy(col("snapshot_date"), col("symbol"), col("series_name"), col("category"),
+        col("economic_category"))
+      .agg(
+        count(lit(1)).as("observation_count"),
+        corr(col("econ_mom_change_pct"), col("pct_change_q1")).as("c_q1"),
+        corr(col("econ_mom_change_pct"), col("pct_change_q2")).as("c_q2"),
+        corr(col("econ_mom_change_pct"), col("pct_change_q3")).as("c_q3"),
+        condSum(col("econ_mom_change_pct") > 0, col("pct_change_q1")).as("up_q1_sum"),
+        count(when(col("econ_mom_change_pct") > 0, col("pct_change_q1"))).as("up_q1_n"),
+        condSum(col("econ_mom_change_pct") < 0, col("pct_change_q1")).as("dn_q1_sum"),
+        count(when(col("econ_mom_change_pct") < 0, col("pct_change_q1"))).as("dn_q1_n"))
+      .filter(col("observation_count") >= 10)
+    def avgOf(sumC: String, nC: String): Column =
+      when(col(nC) > 0, rdiv(col(sumC), col(nC), 2))
+    agg.select(
+      col("snapshot_date"),
+      lit("Correlation Analysis").as("analysis_type"),
+      col("symbol"), col("series_name"), col("category"), col("economic_category"),
+      col("observation_count"),
+      round(col("c_q1"), 4).as("correlation_econ_vs_q1_returns"),
+      round(col("c_q2"), 4).as("correlation_econ_vs_q2_returns"),
+      round(col("c_q3"), 4).as("correlation_econ_vs_q3_returns"),
+      avgOf("up_q1_sum", "up_q1_n").as("avg_q1_return_econ_up"),
+      avgOf("dn_q1_sum", "dn_q1_n").as("avg_q1_return_econ_down"),
+      avgOf("dn_q1_sum", "dn_q1_n").as("return_difference"))
+  }
+
+  private val leadingEconSnapshotSql: String = {
+    val serCatCase = FredCodes
+      .map(c => s"WHEN 'Series $c' THEN '${category(c)}'").mkString(" ")
+    def oAvg(sumC: String, nC: String) =
+      s"CASE WHEN $nC > 0 THEN ${oDivRound(s"CAST($sumC * 1000000 AS HUGEINT)", nC, 2)} END"
+    s"""
+    WITH ${stgFredSql(FredCodes)},
+    $baseHistoricalCtesSql,
+    spine AS (
+      SELECT DISTINCT CAST(DATE_TRUNC('month', date) AS DATE) AS snapshot_date
+      FROM bha WHERE date >= DATE '$LeadingEconSnapCutoff'
+    ),
+    snap_bha AS (
+      SELECT b.*, CASE b.series_name $serCatCase END AS economic_category, s.snapshot_date
+      FROM bha b CROSS JOIN spine s
+      WHERE b.date <= s.snapshot_date
+        AND b.value IS NOT NULL AND b.series_name IS NOT NULL
+        AND CASE b.series_name $serCatCase END IS NOT NULL
+    ),
+    ec AS (
+      SELECT *,
+        CASE WHEN prev_econ_value IS NOT NULL AND prev_econ_value != 0
+          THEN (value - prev_econ_value) / prev_econ_value * 100 END AS econ_mom_change_pct
+      FROM (
+        SELECT snapshot_date, symbol, date, series_name, category, economic_category, value,
+          pct_change_3mo AS pct_change_q1,
+          pct_change_6mo AS pct_change_q2,
+          pct_change_9mo AS pct_change_q3,
+          LAG(value, 1) OVER (PARTITION BY snapshot_date, symbol, series_name ORDER BY date)
+            AS prev_econ_value
+        FROM snap_bha
+      )
+    ),
+    agg AS (
+      SELECT snapshot_date, symbol, series_name, category, economic_category,
+        COUNT(*) AS observation_count,
+        CORR(econ_mom_change_pct, pct_change_q1) AS c_q1,
+        CORR(econ_mom_change_pct, pct_change_q2) AS c_q2,
+        CORR(econ_mom_change_pct, pct_change_q3) AS c_q3,
+        SUM(CASE WHEN econ_mom_change_pct > 0 THEN CAST(pct_change_q1 AS DECIMAL(18,6)) END) AS up_q1_sum,
+        COUNT(CASE WHEN econ_mom_change_pct > 0 THEN pct_change_q1 END) AS up_q1_n,
+        SUM(CASE WHEN econ_mom_change_pct < 0 THEN CAST(pct_change_q1 AS DECIMAL(18,6)) END) AS dn_q1_sum,
+        COUNT(CASE WHEN econ_mom_change_pct < 0 THEN pct_change_q1 END) AS dn_q1_n
+      FROM ec
+      WHERE econ_mom_change_pct IS NOT NULL
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT snapshot_date, 'Correlation Analysis' AS analysis_type,
+      symbol, series_name, category, economic_category, observation_count,
+      ROUND(c_q1, 4) + 0.0 AS correlation_econ_vs_q1_returns,
+      ROUND(c_q2, 4) + 0.0 AS correlation_econ_vs_q2_returns,
+      ROUND(c_q3, 4) + 0.0 AS correlation_econ_vs_q3_returns,
+      ${oAvg("up_q1_sum", "up_q1_n")} AS avg_q1_return_econ_up,
+      ${oAvg("dn_q1_sum", "dn_q1_n")} AS avg_q1_return_econ_down,
+      ${oAvg("dn_q1_sum", "dn_q1_n")} AS return_difference
+    FROM agg
+    WHERE observation_count >= 10
+  """
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_base_historical_analysis", baseHistorical, Some(baseHistoricalSql)),
     QueryDef("q_indicator_market_response", indicatorMarketResponse,
       Some(indicatorMarketResponseSql)),
-    QueryDef("q_leading_econ_return_indicator", leadingEcon, Some(leadingEconSql))
+    QueryDef("q_leading_econ_return_indicator", leadingEcon, Some(leadingEconSql)),
+    QueryDef("q_leading_econ_return_indicator_snapshot", leadingEconSnapshot,
+      Some(leadingEconSnapshotSql)),
+    // agent_leading_econ_return_indicator_snapshot.sql is a bare
+    // SELECT * over the backtesting model — same plan, agent name
+    QueryDef("q_agent_leading_econ_return_indicator_snapshot", leadingEconSnapshot,
+      Some(leadingEconSnapshotSql))
   )
 }
