@@ -41,13 +41,9 @@ object MarketAnalysisQueries {
     ("factor_analysis_return", concat(lit("FAC_"), col("l_suppkey") % 12),
       "'FAC_' || CAST(l_suppkey % 12 AS VARCHAR)", "NYSEARCA"),
     ("fixed_income_analysis_return", concat(lit("FI_"), col("l_partkey") % 11),
-      "'FI_' || CAST(l_partkey % 11 AS VARCHAR)", "BONDS"),
-    ("energy_commodities_analysis_return", concat(lit("EN_"), col("l_suppkey") % 4),
-      "'EN_' || CAST(l_suppkey % 4 AS VARCHAR)", "COMMODITY"),
-    ("agriculture_commodities_analysis_return", concat(lit("AG_"), col("l_orderkey") % 5),
-      "'AG_' || CAST(l_orderkey % 5 AS VARCHAR)", "COMMODITY"),
-    ("input_commodities_analysis_return", concat(lit("IN_"), col("l_partkey") % 6),
-      "'IN_' || CAST(l_partkey % 6 AS VARCHAR)", "COMMODITY")
+      "'FI_' || CAST(l_partkey % 11 AS VARCHAR)", "BONDS")
+    // the commodity analysis_returns use
+    // calculate_commodity_analysis_return — see CommodityQueries
   )
 
   def universe(s: SparkSession, dir: String, bucket: Column, exchange: String): DataFrame = {

@@ -40,13 +40,9 @@ object MarketSummaryQueries {
     ("global_markets_summary", concat(lit("GM_"), col("l_suppkey") % 7),
       "'GM_' || CAST(l_suppkey % 7 AS VARCHAR)", "index", "GLOBAL"),
     ("currency_summary", concat(lit("FX_"), col("l_partkey") % 9),
-      "'FX_' || CAST(l_partkey % 9 AS VARCHAR)", "currency", "FOREX"),
-    ("energy_commodities_summary", concat(lit("EN_"), col("l_suppkey") % 4),
-      "'EN_' || CAST(l_suppkey % 4 AS VARCHAR)", "commodity", "COMMODITY"),
-    ("agriculture_commodities_summary", concat(lit("AG_"), col("l_orderkey") % 5),
-      "'AG_' || CAST(l_orderkey % 5 AS VARCHAR)", "commodity", "COMMODITY"),
-    ("input_commodities_summary", concat(lit("IN_"), col("l_partkey") % 6),
-      "'IN_' || CAST(l_partkey % 6 AS VARCHAR)", "commodity", "COMMODITY")
+      "'FX_' || CAST(l_partkey % 9 AS VARCHAR)", "currency", "FOREX")
+    // the commodity summaries use calculate_commodity_summary, not this
+    // macro — they live in CommodityQueries (round-3 fidelity fix)
   )
 
   /** OHLC universe staging: per-(bucket, day) bars, md5-keyed

@@ -21,7 +21,8 @@ object Registry {
       AnalysisQueries2.defs ++ AnalysisQueries3.defs ++
       AnalysisQueries4.defs ++ TreasuryEarningsQueries.defs ++
       MiscModelQueries.defs ++ FredSignalQueries4.defs ++ AgentQueries.defs ++ RedditQueries2.defs ++
-      MarketsQueries2.defs ++ DataQualityQueries.defs ++ SnapshotQueries.defs
+      MarketsQueries2.defs ++ DataQualityQueries.defs ++ SnapshotQueries.defs ++
+      CommodityQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
