@@ -22,7 +22,8 @@ object Registry {
       AnalysisQueries4.defs ++ TreasuryEarningsQueries.defs ++
       MiscModelQueries.defs ++ FredSignalQueries4.defs ++ AgentQueries.defs ++ RedditQueries2.defs ++
       MarketsQueries2.defs ++ DataQualityQueries.defs ++ SnapshotQueries.defs ++
-      CommodityQueries.defs ++ RedditStagingQueries.defs
+      CommodityQueries.defs ++ RedditStagingQueries.defs ++
+      SemanticLayerQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
