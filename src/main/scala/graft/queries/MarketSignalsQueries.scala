@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions.epochDay
 import graft.operators.TimeSeriesOps
 import graft.queries.FredSignalQueries.{stgFred, stgFredSql}
-import graft.queries.QueryDef.{oDivRound, rdiv}
+import graft.queries.QueryDef.{oDivRound, oSnap, rdiv, rsnap}
 import graft.runtime.Tables
 
 /** The remaining market-signals analysis models 1:1:
@@ -485,7 +485,488 @@ object MarketSignalsQueries {
   """
   }
 
+  // ------------------------------------------------------------------
+  // technical_signals (SPY-only deprecated model w/ VIX mean-reversion)
+  // ------------------------------------------------------------------
+
+  private def technicalSignals(s: SparkSession, dir: String): DataFrame = {
+    val wd = Window.orderBy(col("date"))
+    def dw(n: Int) = wd.rowsBetween(-(n - 1), 0)
+    def exAvg(c: Column, n: Int): Column =
+      sum(c.cast(DecimalType(18, 6))).over(dw(n)).cast("double") / count(c).over(dw(n))
+    def nz(c: Column): Column = when(c =!= 0, c)
+
+    val spyDaily = adjStaging(s, dir,
+      when(col("l_linestatus") === "O", "SPY").otherwise("QQQ"), withVolume = false)
+      .filter(col("symbol") === "SPY" && col("adj_close").isNotNull)
+      .withColumn("daily_change", col("adj_close") - lag(col("adj_close"), 1).over(wd))
+
+    val rsi = spyDaily
+      .filter(col("daily_change").isNotNull)
+      .withColumn("gain", when(col("daily_change") > 0, col("daily_change")).otherwise(0.0))
+      .withColumn("loss", when(col("daily_change") < 0, abs(col("daily_change"))).otherwise(0.0))
+      .withColumn("ag14", exAvg(col("gain"), 14))
+      .withColumn("al14", exAvg(col("loss"), 14))
+      .withColumn("ag2", exAvg(col("gain"), 2))
+      .withColumn("al2", exAvg(col("loss"), 2))
+      .select(col("date"), col("adj_close"),
+        round(lit(100) - lit(100.0) / (lit(1) + col("ag14") / nz(col("al14"))), 2).as("rsi_14"),
+        round(lit(100) - lit(100.0) / (lit(1) + col("ag2") / nz(col("al2"))), 2).as("rsi_2"))
+
+    val boll = spyDaily
+      .withColumn("bb_middle", exAvg(col("adj_close"), 20))
+      .withColumn("bb_stddev", stddev_samp(col("adj_close")).over(dw(20)))
+      .withColumn("bb_bandwidth_raw",
+        round(lit(4) * col("bb_stddev") / nz(col("bb_middle")) * 100, 4))
+      .withColumn("bb_bandwidth_pctile_raw",
+        (col("bb_bandwidth_raw") - min(col("bb_bandwidth_raw")).over(dw(126))) /
+          nz(max(col("bb_bandwidth_raw")).over(dw(126)) - min(col("bb_bandwidth_raw")).over(dw(126))))
+      .select(col("date").as("b_date"),
+        round(col("bb_middle") + lit(2) * col("bb_stddev"), 2).as("bb_upper"),
+        round(col("bb_middle") - lit(2) * col("bb_stddev"), 2).as("bb_lower"),
+        rsnap(col("bb_bandwidth_raw"), 2).as("bb_bandwidth"),
+        round(col("bb_bandwidth_pctile_raw"), 4).as("bb_bandwidth_pctile"),
+        round((col("adj_close") - (col("bb_middle") - lit(2) * col("bb_stddev"))) /
+          nz(lit(4) * col("bb_stddev")), 4).as("bb_position"))
+
+    val zscore = spyDaily
+      .withColumn("mean_60d", exAvg(col("adj_close"), 60))
+      .withColumn("std_60d", stddev_samp(col("adj_close")).over(dw(60)))
+      .select(col("date").as("z_date"),
+        round((col("adj_close") - col("mean_60d")) / nz(col("std_60d")), 2).as("zscore_60d"))
+
+    val vix = stgFred(s, dir, Seq("VIXCLS"))
+      .filter(col("series_code") === "VIXCLS" && col("literal").isNotNull)
+      .select(col("date").as("v_date"), col("literal").as("vix_value"))
+      .withColumn("vix_percentile_raw",
+        (col("vix_value") - min(col("vix_value")).over(Window.orderBy(col("v_date")).rowsBetween(-251, 0))) /
+          nz(max(col("vix_value")).over(Window.orderBy(col("v_date")).rowsBetween(-251, 0)) -
+            min(col("vix_value")).over(Window.orderBy(col("v_date")).rowsBetween(-251, 0))))
+      .withColumn("vix_zscore",
+        round((col("vix_value") -
+          (sum(col("vix_value").cast(DecimalType(18, 6)))
+            .over(Window.orderBy(col("v_date")).rowsBetween(-251, 0)).cast("double") /
+            count(col("vix_value")).over(Window.orderBy(col("v_date")).rowsBetween(-251, 0)))) /
+          nz(stddev_samp(col("vix_value")).over(Window.orderBy(col("v_date")).rowsBetween(-251, 0))), 2))
+
+    val anchor = spyDaily.agg(max(col("date")).as("today"))
+    rsi
+      .join(boll, col("date") === col("b_date"), "left")
+      .join(zscore, col("date") === col("z_date"), "left")
+      .join(vix, col("date") === col("v_date"), "left")
+      .crossJoin(broadcast(anchor))
+      .filter(col("date") >= add_months(col("today"), -36))
+      .select(
+        col("date"), col("adj_close"), col("rsi_14"), col("rsi_2"),
+        col("bb_upper"), col("bb_lower"), col("bb_bandwidth"),
+        col("bb_bandwidth_pctile"), col("bb_position"), col("zscore_60d"),
+        col("vix_value"),
+        round(col("vix_percentile_raw"), 4).as("vix_percentile_1yr"),
+        col("vix_zscore"),
+        when(col("rsi_14") > 70, "high").when(col("rsi_14") < 30, "medium")
+          .otherwise("normal").as("rsi_status"),
+        when(col("bb_bandwidth_pctile") <= 0.10, "high")
+          .when(col("bb_position") > 0.95 || col("bb_position") < 0.05, "medium")
+          .otherwise("normal").as("bollinger_status"),
+        when(abs(col("zscore_60d")) > 2.0, "high")
+          .when(abs(col("zscore_60d")) > 1.5, "medium")
+          .otherwise("normal").as("zscore_status"),
+        when(col("vix_percentile_raw") > 0.90, "high")
+          .when(col("vix_percentile_raw") > 0.80, "medium")
+          .when(col("vix_percentile_raw") < 0.10, "low")
+          .otherwise("normal").as("vix_mean_reversion_status"))
+  }
+
+  private val technicalSignalsSql: String = {
+    val idxCte = adjStagingSql("CASE WHEN l_linestatus = 'O' THEN 'SPY' ELSE 'QQQ' END", withVolume = false)
+    def exAvg(c: String, win: String) =
+      s"CAST(SUM(CAST($c AS DECIMAL(18,6))) OVER $win AS DOUBLE) / COUNT($c) OVER $win"
+    s"""
+    WITH ${stgFredSql(Seq("VIXCLS"))},
+    spy_daily AS (
+      SELECT date, adj_close,
+        adj_close - LAG(adj_close) OVER (ORDER BY date) AS daily_change
+      FROM $idxCte
+      WHERE symbol = 'SPY' AND adj_close IS NOT NULL
+    ),
+    anchor AS (SELECT MAX(date) AS today FROM spy_daily),
+    rsi AS (
+      SELECT date, adj_close,
+        ROUND(100 - 100.0 / (1 + ${exAvg("gain", "w14")} / NULLIF(${exAvg("loss", "w14")}, 0)), 2) + 0.0 AS rsi_14,
+        ROUND(100 - 100.0 / (1 + ${exAvg("gain", "w2")} / NULLIF(${exAvg("loss", "w2")}, 0)), 2) + 0.0 AS rsi_2
+      FROM (
+        SELECT date, adj_close,
+          CASE WHEN daily_change > 0 THEN daily_change ELSE 0 END AS gain,
+          CASE WHEN daily_change < 0 THEN ABS(daily_change) ELSE 0 END AS loss
+        FROM spy_daily WHERE daily_change IS NOT NULL
+      )
+      WINDOW w14 AS (ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        w2 AS (ORDER BY date ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+    ),
+    boll0 AS (
+      SELECT date, adj_close,
+        ${exAvg("adj_close", "w20")} AS bb_middle,
+        STDDEV_SAMP(adj_close) OVER w20 AS bb_stddev
+      FROM spy_daily
+      WINDOW w20 AS (ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    boll1 AS (
+      SELECT *, ROUND(4 * bb_stddev / NULLIF(bb_middle, 0) * 100, 4) + 0.0 AS bb_bandwidth_raw
+      FROM boll0
+    ),
+    boll AS (
+      SELECT date AS b_date,
+        ROUND(bb_middle + 2 * bb_stddev, 2) + 0.0 AS bb_upper,
+        ROUND(bb_middle - 2 * bb_stddev, 2) + 0.0 AS bb_lower,
+        ${oSnap("bb_bandwidth_raw", 2)} AS bb_bandwidth,
+        ROUND((bb_bandwidth_raw - MIN(bb_bandwidth_raw) OVER w126)
+          / NULLIF(MAX(bb_bandwidth_raw) OVER w126 - MIN(bb_bandwidth_raw) OVER w126, 0), 4) + 0.0
+          AS bb_bandwidth_pctile,
+        (bb_bandwidth_raw - MIN(bb_bandwidth_raw) OVER w126)
+          / NULLIF(MAX(bb_bandwidth_raw) OVER w126 - MIN(bb_bandwidth_raw) OVER w126, 0)
+          AS bb_bandwidth_pctile_raw,
+        ROUND((adj_close - (bb_middle - 2 * bb_stddev)) / NULLIF(4 * bb_stddev, 0), 4) + 0.0
+          AS bb_position
+      FROM boll1
+      WINDOW w126 AS (ORDER BY date ROWS BETWEEN 125 PRECEDING AND CURRENT ROW)
+    ),
+    zscore AS (
+      SELECT date AS z_date,
+        ROUND((adj_close - ${exAvg("adj_close", "w60")})
+          / NULLIF(STDDEV_SAMP(adj_close) OVER w60, 0), 2) + 0.0 AS zscore_60d
+      FROM spy_daily
+      WINDOW w60 AS (ORDER BY date ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+    ),
+    vix AS (
+      SELECT date AS v_date, vix_value,
+        (vix_value - MIN(vix_value) OVER w252)
+          / NULLIF(MAX(vix_value) OVER w252 - MIN(vix_value) OVER w252, 0) AS vix_percentile_raw,
+        ROUND((vix_value - ${exAvg("vix_value", "w252")})
+          / NULLIF(STDDEV_SAMP(vix_value) OVER w252, 0), 2) + 0.0 AS vix_zscore
+      FROM (
+        SELECT date, literal AS vix_value FROM stg
+        WHERE series_code = 'VIXCLS' AND literal IS NOT NULL
+      )
+      WINDOW w252 AS (ORDER BY date ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
+    )
+    SELECT r.date, r.adj_close, r.rsi_14, r.rsi_2,
+      b.bb_upper, b.bb_lower, b.bb_bandwidth, b.bb_bandwidth_pctile, b.bb_position,
+      z.zscore_60d, v.vix_value,
+      ROUND(v.vix_percentile_raw, 4) + 0.0 AS vix_percentile_1yr,
+      v.vix_zscore,
+      CASE WHEN r.rsi_14 > 70 THEN 'high' WHEN r.rsi_14 < 30 THEN 'medium'
+           ELSE 'normal' END AS rsi_status,
+      CASE WHEN b.bb_bandwidth_pctile <= 0.10 THEN 'high'
+           WHEN b.bb_position > 0.95 OR b.bb_position < 0.05 THEN 'medium'
+           ELSE 'normal' END AS bollinger_status,
+      CASE WHEN ABS(z.zscore_60d) > 2.0 THEN 'high'
+           WHEN ABS(z.zscore_60d) > 1.5 THEN 'medium'
+           ELSE 'normal' END AS zscore_status,
+      CASE WHEN v.vix_percentile_raw > 0.90 THEN 'high'
+           WHEN v.vix_percentile_raw > 0.80 THEN 'medium'
+           WHEN v.vix_percentile_raw < 0.10 THEN 'low'
+           ELSE 'normal' END AS vix_mean_reversion_status
+    FROM rsi r
+    LEFT JOIN boll b ON r.date = b.b_date
+    LEFT JOIN zscore z ON r.date = z.z_date
+    LEFT JOIN vix v ON r.date = v.v_date
+    CROSS JOIN anchor a
+    WHERE r.date >= CAST(a.today - INTERVAL 36 MONTH AS DATE)
+  """
+  }
+
+  // ------------------------------------------------------------------
+  // commodity_market_signals
+  // ------------------------------------------------------------------
+
+  /** named commodity staging: (commodity_name, date, price). */
+  private def namedCommodity(s: SparkSession, dir: String, nameCol: Column): DataFrame =
+    T(s, dir).lineitem
+      .groupBy(nameCol.as("commodity_name"), to_date(col("l_shipdate")).as("date"))
+      .agg(QueryDef.r4(max_by(col("l_extendedprice"), mdKey)).as("price"))
+
+  private val inputNames = Seq("gold", "copper", "aluminum", "lumber", "steel", "cotton")
+  private val energyNames = Seq("crude_oil", "natural_gas", "gasoline", "heating_oil")
+
+  private def namesCase(names: Seq[String], keyCol: Column): Column =
+    names.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (n, i)) => when(keyCol === i, lit(n)).otherwise(acc)
+    }
+
+  private def namesCaseSql(names: Seq[String], keySql: String): String =
+    s"CASE $keySql ${names.zipWithIndex.map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")} END"
+
+  private def commodityMarketSignals(s: SparkSession, dir: String): DataFrame = {
+    val input  = namedCommodity(s, dir, namesCase(inputNames, col("l_partkey") % 6))
+    val energy = namedCommodity(s, dir, namesCase(energyNames, col("l_suppkey") % 4))
+    val spy = adjStaging(s, dir,
+      when(col("l_linestatus") === "O", "SPY").otherwise("QQQ"), withVolume = false)
+      .filter(col("symbol") === "SPY" && col("adj_close").isNotNull && col("adj_close") > 0)
+      .select(col("date").as("s_date"), col("adj_close").as("spy_price"))
+    def series(df: DataFrame, nm: String, out: String) = df
+      .filter(col("commodity_name") === nm && col("price").isNotNull && col("price") > 0)
+      .select(col("date").as(s"${out}_date"), col("price").as(out))
+    val gold   = series(input, "gold", "gold_price")
+    val copper = series(input, "copper", "copper_price")
+    val oil    = series(energy, "crude_oil", "oil_price")
+
+    val allDates = gold.select(col("gold_price_date").as("date"))
+      .union(spy.select(col("s_date"))).distinct()
+    val combined = allDates
+      .join(gold, col("date") === col("gold_price_date"), "left")
+      .join(copper, col("date") === col("copper_price_date"), "left")
+      .join(oil, col("date") === col("oil_price_date"), "left")
+      .join(spy, col("date") === col("s_date"), "left")
+      .filter(col("gold_price").isNotNull || col("spy_price").isNotNull)
+      .select(col("date"), col("gold_price"), col("copper_price"), col("oil_price"), col("spy_price"))
+
+    val wd = Window.orderBy(col("date"))
+    def dw(n: Int) = wd.rowsBetween(-(n - 1), 0)
+    def exAvgR(c: Column, n: Int, outScale: Int): Column =
+      rdiv(sum(c.cast(DecimalType(18, 6))).over(dw(n)), count(c).over(dw(n)), outScale)
+    def exAvgRaw(c: Column, n: Int): Column =
+      sum(c.cast(DecimalType(18, 6))).over(dw(n)).cast("double") / count(c).over(dw(n))
+
+    val cgRatio = when(col("gold_price") > 0 && col("copper_price").isNotNull,
+      col("copper_price") / col("gold_price") * 1000)
+    val gsRatio = when(col("spy_price") > 0 && col("gold_price").isNotNull,
+      col("gold_price") / col("spy_price"))
+    val calc = combined
+      .withColumn("copper_gold_ratio_raw", cgRatio)
+      .withColumn("gold_spy_ratio_raw", gsRatio)
+      .withColumn("oil_sma_20_raw", exAvgRaw(col("oil_price"), 20))
+      .withColumn("oil_sma_50_raw", exAvgRaw(col("oil_price"), 50))
+      .withColumn("oil_sma_20", exAvgR(col("oil_price"), 20, 2))
+      .withColumn("oil_sma_50", exAvgR(col("oil_price"), 50, 2))
+      .withColumn("copper_gold_sma_20", round(exAvgRaw(cgRatio, 20), 4))
+      .withColumn("gold_spy_sma_20", round(exAvgRaw(gsRatio, 20), 4))
+      .withColumn("copper_gold_sma_20_raw", exAvgRaw(cgRatio, 20))
+
+    val anchor = allDates.agg(max(col("date")).as("today"))
+    calc
+      .crossJoin(broadcast(anchor))
+      .filter(col("date") >= add_months(col("today"), -24))
+      .select(
+        col("date"), col("gold_price"), col("copper_price"), col("oil_price"), col("spy_price"),
+        round(col("copper_gold_ratio_raw"), 4).as("copper_gold_ratio"),
+        round(col("gold_spy_ratio_raw"), 4).as("gold_spy_ratio"),
+        col("oil_sma_20"), col("oil_sma_50"),
+        col("copper_gold_sma_20"), col("gold_spy_sma_20"),
+        when(col("oil_price").isNotNull && col("oil_sma_20_raw") > 0,
+          round((col("oil_price") - col("oil_sma_20_raw")) / col("oil_sma_20_raw") * 100, 2))
+          .as("oil_momentum_pct"),
+        when(col("copper_gold_ratio_raw").isNotNull && col("copper_gold_sma_20_raw") > 0,
+          round((col("copper_gold_ratio_raw") - col("copper_gold_sma_20_raw")) /
+            col("copper_gold_sma_20_raw") * 100, 2))
+          .as("copper_gold_momentum_pct"),
+        when(col("oil_price") > col("oil_sma_20_raw") && col("oil_sma_20_raw") > col("oil_sma_50_raw"), 1)
+          .when(col("oil_price") < col("oil_sma_20_raw") && col("oil_sma_20_raw") < col("oil_sma_50_raw"), -1)
+          .otherwise(0).cast("long").as("oil_trend_signal"))
+  }
+
+  private val commodityMarketSignalsSql: String = {
+    val inputCase  = namesCaseSql(inputNames, "l_partkey % 6")
+    val energyCase = namesCaseSql(energyNames, "l_suppkey % 4")
+    val idxCte = adjStagingSql("CASE WHEN l_linestatus = 'O' THEN 'SPY' ELSE 'QQQ' END", withVolume = false)
+    def exAvgRaw(c: String, win: String) =
+      s"CAST(SUM(CAST($c AS DECIMAL(18,6))) OVER $win AS DOUBLE) / COUNT($c) OVER $win"
+    def exAvgR(c: String, win: String, n: Int) = oDivRound(
+      s"CAST(SUM(CAST($c AS DECIMAL(18,6))) OVER $win * 1000000 AS HUGEINT)",
+      s"COUNT($c) OVER $win", n)
+    s"""
+    WITH inputc AS (
+      SELECT $inputCase AS commodity_name, CAST(l_shipdate AS DATE) AS date,
+        ROUND(MAX_BY(l_extendedprice, $mdKeySql), 4) + 0.0 AS price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    energyc AS (
+      SELECT $energyCase AS commodity_name, CAST(l_shipdate AS DATE) AS date,
+        ROUND(MAX_BY(l_extendedprice, $mdKeySql), 4) + 0.0 AS price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    gold AS (SELECT date AS g_date, price AS gold_price FROM inputc
+             WHERE commodity_name = 'gold' AND price IS NOT NULL AND price > 0),
+    copper AS (SELECT date AS c_date, price AS copper_price FROM inputc
+               WHERE commodity_name = 'copper' AND price IS NOT NULL AND price > 0),
+    oil AS (SELECT date AS o_date, price AS oil_price FROM energyc
+            WHERE commodity_name = 'crude_oil' AND price IS NOT NULL AND price > 0),
+    spy AS (SELECT date AS s_date, adj_close AS spy_price FROM $idxCte
+            WHERE symbol = 'SPY' AND adj_close IS NOT NULL AND adj_close > 0),
+    all_dates AS (
+      SELECT DISTINCT g_date AS date FROM gold
+      UNION SELECT DISTINCT s_date FROM spy
+    ),
+    combined AS (
+      SELECT d.date, g.gold_price, c.copper_price, o.oil_price, s.spy_price
+      FROM all_dates d
+      LEFT JOIN gold g ON d.date = g.g_date
+      LEFT JOIN copper c ON d.date = c.c_date
+      LEFT JOIN oil o ON d.date = o.o_date
+      LEFT JOIN spy s ON d.date = s.s_date
+      WHERE g.gold_price IS NOT NULL OR s.spy_price IS NOT NULL
+    ),
+    anchor AS (SELECT MAX(date) AS today FROM all_dates),
+    calc AS (
+      SELECT *,
+        CASE WHEN gold_price > 0 AND copper_price IS NOT NULL
+             THEN copper_price / gold_price * 1000 END AS copper_gold_ratio_raw,
+        CASE WHEN spy_price > 0 AND gold_price IS NOT NULL
+             THEN gold_price / spy_price END AS gold_spy_ratio_raw,
+        ${exAvgRaw("oil_price", "w20")} AS oil_sma_20_raw,
+        ${exAvgRaw("oil_price", "w50")} AS oil_sma_50_raw,
+        ${exAvgR("oil_price", "w20", 2)} AS oil_sma_20,
+        ${exAvgR("oil_price", "w50", 2)} AS oil_sma_50,
+        ROUND(${exAvgRaw(
+      "CASE WHEN gold_price > 0 AND copper_price IS NOT NULL THEN copper_price / gold_price * 1000 END",
+      "w20")}, 4) + 0.0 AS copper_gold_sma_20,
+        ${exAvgRaw(
+      "CASE WHEN gold_price > 0 AND copper_price IS NOT NULL THEN copper_price / gold_price * 1000 END",
+      "w20")} AS copper_gold_sma_20_raw,
+        ROUND(${exAvgRaw(
+      "CASE WHEN spy_price > 0 AND gold_price IS NOT NULL THEN gold_price / spy_price END",
+      "w20")}, 4) + 0.0 AS gold_spy_sma_20
+      FROM combined
+      WINDOW w20 AS (ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        w50 AS (ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    )
+    SELECT date, gold_price, copper_price, oil_price, spy_price,
+      ROUND(copper_gold_ratio_raw, 4) + 0.0 AS copper_gold_ratio,
+      ROUND(gold_spy_ratio_raw, 4) + 0.0 AS gold_spy_ratio,
+      oil_sma_20, oil_sma_50, copper_gold_sma_20, gold_spy_sma_20,
+      CASE WHEN oil_price IS NOT NULL AND oil_sma_20_raw > 0
+           THEN ROUND((oil_price - oil_sma_20_raw) / oil_sma_20_raw * 100, 2) + 0.0
+      END AS oil_momentum_pct,
+      CASE WHEN copper_gold_ratio_raw IS NOT NULL AND copper_gold_sma_20_raw > 0
+           THEN ROUND((copper_gold_ratio_raw - copper_gold_sma_20_raw) / copper_gold_sma_20_raw * 100, 2) + 0.0
+      END AS copper_gold_momentum_pct,
+      CAST(CASE WHEN oil_price > oil_sma_20_raw AND oil_sma_20_raw > oil_sma_50_raw THEN 1
+                WHEN oil_price < oil_sma_20_raw AND oil_sma_20_raw < oil_sma_50_raw THEN -1
+                ELSE 0 END AS BIGINT) AS oil_trend_signal
+    FROM calc, anchor
+    WHERE date >= CAST(today - INTERVAL 24 MONTH AS DATE)
+  """
+  }
+
+  // ------------------------------------------------------------------
+  // reddit_cross_subreddit_activity
+  // ------------------------------------------------------------------
+
+  private def redditCrossSubreddit(s: SparkSession, dir: String): DataFrame = {
+    // long-title fixture: the staging title (events props) is < 20
+    // chars, which would silently empty the title-overlap branch
+    val posts = MiscModelQueries.redditPosts(s, dir)
+      .filter(!col("is_deleted"))
+      .withColumn("title", concat(lit("Discussion thread: "), col("title")))
+    val selfDomains = Seq("self.investing", "self.stocks", "self.wallstreetbets",
+      "self.economics", "self.economy")
+    def overlapAgg(df: DataFrame, keys: Seq[Column]) = df
+      .groupBy(keys: _*)
+      .agg(
+        countDistinct(col("subreddit")).as("subreddit_count"),
+        array_sort(collect_set(col("subreddit"))).as("subs_arr"),
+        sum(col("score")).cast("long").as("total_score"),
+        sum(col("num_comments")).cast("long").as("total_comments"),
+        sum(col("engagement_score")).cast("long").as("total_engagement"),
+        min(col("post_id")).as("first_post_id"))
+      .filter(col("subreddit_count") >= 2)
+    val urlOverlap = overlapAgg(
+      posts.filter(!col("is_self_post") && col("url").isNotNull && length(col("url")) > 0 &&
+        !col("domain").isin(selfDomains: _*)),
+      Seq(col("url"), col("domain"), col("partition_date")))
+      .select(lit("url_match").as("match_type"), col("url").as("match_key"),
+        col("domain").as("match_domain"), col("partition_date"),
+        col("subreddit_count"), col("subs_arr"), col("total_score"),
+        col("total_comments"), col("total_engagement"), col("first_post_id"))
+    val titleOverlap = overlapAgg(
+      posts.filter(length(col("title")) > 20)
+        .withColumn("normalized_title", lower(trim(col("title")))),
+      Seq(col("normalized_title"), col("partition_date")))
+      .select(lit("title_match").as("match_type"), col("normalized_title").as("match_key"),
+        lit(null).cast("string").as("match_domain"), col("partition_date"),
+        col("subreddit_count"), col("subs_arr"), col("total_score"),
+        col("total_comments"), col("total_engagement"), col("first_post_id"))
+    val titles = posts.select(col("post_id").as("p_post_id"), col("title").as("post_title"))
+    urlOverlap.unionByName(titleOverlap)
+      .join(titles, col("first_post_id") === col("p_post_id"), "left")
+      .select(
+        col("match_type"), col("match_key"), col("match_domain"), col("partition_date"),
+        col("subreddit_count"),
+        concat_ws(",", col("subs_arr")).as("subreddits"),
+        col("total_score"), col("total_comments"), col("total_engagement"),
+        col("first_post_id"), col("post_title"),
+        when(col("subreddit_count") >= 3, "viral")
+          .when(col("total_engagement") >= 500, "high_attention")
+          .otherwise("normal").as("attention_level"),
+        (array_contains(col("subs_arr"), "wallstreetbets") &&
+          (array_contains(col("subs_arr"), "economics") || array_contains(col("subs_arr"), "economy")))
+          .as("retail_to_academic_crossover"))
+  }
+
+  private val redditCrossSubredditSql: String = s"""
+    WITH posts AS (
+      SELECT * REPLACE ('Discussion thread: ' || title AS title)
+      FROM (${MiscModelQueries.redditPostsSql})
+      WHERE NOT is_deleted
+    ),
+    url_overlap AS (
+      SELECT 'url_match' AS match_type, url AS match_key, domain AS match_domain,
+        partition_date, subreddit_count, subs_arr, total_score, total_comments,
+        total_engagement, first_post_id
+      FROM (
+        SELECT url, domain, partition_date,
+          CAST(COUNT(DISTINCT subreddit) AS BIGINT) AS subreddit_count,
+          LIST_SORT(LIST(DISTINCT subreddit)) AS subs_arr,
+          CAST(SUM(score) AS BIGINT) AS total_score,
+          CAST(SUM(num_comments) AS BIGINT) AS total_comments,
+          CAST(SUM(engagement_score) AS BIGINT) AS total_engagement,
+          MIN(post_id) AS first_post_id
+        FROM posts
+        WHERE NOT is_self_post AND url IS NOT NULL AND LENGTH(url) > 0
+          AND domain NOT IN ('self.investing', 'self.stocks', 'self.wallstreetbets',
+                             'self.economics', 'self.economy')
+        GROUP BY url, domain, partition_date
+        HAVING COUNT(DISTINCT subreddit) >= 2
+      )
+    ),
+    title_overlap AS (
+      SELECT 'title_match' AS match_type, normalized_title AS match_key,
+        CAST(NULL AS VARCHAR) AS match_domain,
+        partition_date, subreddit_count, subs_arr, total_score, total_comments,
+        total_engagement, first_post_id
+      FROM (
+        SELECT LOWER(TRIM(title)) AS normalized_title, partition_date,
+          CAST(COUNT(DISTINCT subreddit) AS BIGINT) AS subreddit_count,
+          LIST_SORT(LIST(DISTINCT subreddit)) AS subs_arr,
+          CAST(SUM(score) AS BIGINT) AS total_score,
+          CAST(SUM(num_comments) AS BIGINT) AS total_comments,
+          CAST(SUM(engagement_score) AS BIGINT) AS total_engagement,
+          MIN(post_id) AS first_post_id
+        FROM posts
+        WHERE LENGTH(title) > 20
+        GROUP BY LOWER(TRIM(title)), partition_date
+        HAVING COUNT(DISTINCT subreddit) >= 2
+      )
+    ),
+    combined AS (SELECT * FROM url_overlap UNION ALL SELECT * FROM title_overlap)
+    SELECT c.match_type, c.match_key, c.match_domain, c.partition_date,
+      c.subreddit_count,
+      ARRAY_TO_STRING(c.subs_arr, ',') AS subreddits,
+      c.total_score, c.total_comments, c.total_engagement, c.first_post_id,
+      p.title AS post_title,
+      CASE WHEN c.subreddit_count >= 3 THEN 'viral'
+           WHEN c.total_engagement >= 500 THEN 'high_attention'
+           ELSE 'normal' END AS attention_level,
+      (LIST_CONTAINS(c.subs_arr, 'wallstreetbets')
+        AND (LIST_CONTAINS(c.subs_arr, 'economics') OR LIST_CONTAINS(c.subs_arr, 'economy')))
+        AS retail_to_academic_crossover
+    FROM combined c
+    LEFT JOIN posts p ON c.first_post_id = p.post_id
+  """
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_market_breadth_signals", marketBreadthSignals, Some(marketBreadthSignalsSql))
+    QueryDef("q_market_breadth_signals", marketBreadthSignals, Some(marketBreadthSignalsSql)),
+    QueryDef("q_technical_signals", technicalSignals, Some(technicalSignalsSql)),
+    QueryDef("q_commodity_market_signals", commodityMarketSignals, Some(commodityMarketSignalsSql)),
+    QueryDef("q_reddit_cross_subreddit_activity", redditCrossSubreddit, Some(redditCrossSubredditSql))
   )
 }

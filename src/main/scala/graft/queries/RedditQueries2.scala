@@ -264,6 +264,10 @@ object RedditQueries2 {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_reddit_sentiment_trends", sentimentTrends, Some(sentimentTrendsSql))
+    QueryDef("q_reddit_sentiment_trends", sentimentTrends, Some(sentimentTrendsSql)),
+    // the reference materializes this under its agents_preprocess name
+    // (agent_reddit_sentiment_trends.sql IS the model) — both names
+    // resolve to the same plan
+    QueryDef("q_agent_reddit_sentiment_trends", sentimentTrends, Some(sentimentTrendsSql))
   )
 }
