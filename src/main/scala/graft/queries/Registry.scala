@@ -23,7 +23,8 @@ object Registry {
       MiscModelQueries.defs ++ FredSignalQueries4.defs ++ AgentQueries.defs ++ RedditQueries2.defs ++
       MarketsQueries2.defs ++ DataQualityQueries.defs ++ SnapshotQueries.defs ++
       CommodityQueries.defs ++ RedditStagingQueries.defs ++
-      SemanticLayerQueries.defs ++ MarketSignalsQueries.defs
+      SemanticLayerQueries.defs ++ MarketSignalsQueries.defs ++
+      StagingMarketQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
