@@ -116,6 +116,91 @@ object TextOps {
     )
   }
 
+  /** VADER scorer WITH the reference library's heuristics (ref
+    * social_sentiment.py uses the real vaderSentiment package;
+    * published VADER constants: Hutto & Gilbert 2014):
+    *
+    *  - booster/dampener words in the 3 preceding tokens shift the
+    *    valence by ±0.293 toward/away from its sign, scaled 1.0 /
+    *    0.95 / 0.9 by distance;
+    *  - a negator in the 3 preceding tokens multiplies the (boosted)
+    *    valence by −0.74;
+    *  - exclamation emphasis: min(#!, 4) × 0.292 added to the
+    *    compound sum toward its sign; question emphasis: 2-3 "?" →
+    *    #? × 0.18, ≥4 → 0.96;
+    *  - the punctuation emphasis also joins the dominant pole of the
+    *    pos/neg/neu mass split (VADER's _sift_sentiment_scores).
+    *
+    * ALL-CAPS emphasis is inapplicable (the token pipeline lowercases)
+    * and the but-clause/idiom rules are out of scope — documented.
+    * Arithmetic is integer in valence×10⁶ units (0.293 → 293000;
+    * distance-scaled boosts 293000/278350/263700; the ×(−0.74) product
+    * stays integral because every reachable valence is a multiple of
+    * 50, so truncating and flooring division agree) — sums are exact
+    * and order-independent on both engines.
+    */
+  def vaderSentimentFull(
+      text: Column,
+      lexicon10: Seq[(String, Int)],
+      boosters: Seq[String],
+      dampeners: Seq[String],
+      negators: Seq[String]
+  ): Column = {
+    val t = tokens(text)
+    // base valence in 1e-6 units
+    def base(tok: Column): Column =
+      lexicon10.foldRight(lit(0L)) { case ((w, s), acc) =>
+        when(tok === w, lit(s.toLong * 100000L)).otherwise(acc)
+      }
+    def isIn(tok: Column, words: Seq[String]): Column =
+      words.map(tok === lit(_)).reduce(_ || _)
+    val distBoost = Seq(293000L, 278350L, 263700L)
+    val v = transform(t, (tok, i) => {
+      val b = base(tok)
+      val sign = when(b > 0, 1L).otherwise(-1L)
+      val boosted = (1 to 3).foldLeft(b) { (acc, d) =>
+        val p     = element_at(t, i + lit(1) - lit(d))
+        val there = i + lit(1) - lit(d) >= 1
+        when(b =!= 0 && there && isIn(p, boosters), acc + sign * distBoost(d - 1))
+          .when(b =!= 0 && there && isIn(p, dampeners), acc - sign * distBoost(d - 1))
+          .otherwise(acc)
+      }
+      val negated = (1 to 3).map { d =>
+        val there = i + lit(1) - lit(d) >= 1
+        there && isIn(element_at(t, i + lit(1) - lit(d)), negators)
+      }.reduce(_ || _)
+      when(b =!= 0 && negated, (-boosted * 74L / 100L).cast("long")).otherwise(boosted)
+    })
+    def asum(f: Column => Column) = aggregate(v, lit(0L), (a, x) => a + f(x))
+    val sRaw = asum(identity)
+    val nEx  = least(length(text) - length(regexp_replace(text, "!", "")), lit(4))
+    val nQm  = length(text) - length(regexp_replace(text, "\\?", ""))
+    val ep   = nEx.cast("long") * 292000L
+    val qp = when(nQm > 3, 960000L)
+      .when(nQm > 1, nQm.cast("long") * 180000L)
+      .otherwise(0L)
+    val punct = ep + qp
+    val s     = when(sRaw > 0, sRaw + punct).when(sRaw < 0, sRaw - punct).otherwise(sRaw)
+    val unit  = 1000000L
+    val pos = asum(x => when(x > 0, x + lit(unit)).otherwise(0L)) +
+      when(sRaw > 0, punct).otherwise(0L)
+    val neg = asum(x => when(x < 0, lit(unit) - x).otherwise(0L)) +
+      when(sRaw < 0, punct).otherwise(0L)
+    val neu = asum(x => when(x === 0, lit(unit)).otherwise(0L))
+    val tot = pos + neg + neu
+    val sD  = s.cast("double") / unit.toDouble
+    val compound = when(tot > 0, round(sD / sqrt(sD * sD + 15.0), 4)).otherwise(lit(0.0))
+    def ratio(m: Column) = when(tot > 0, round(m.cast("double") / tot, 3)).otherwise(lit(0.0))
+    struct(
+      compound.as("compound"),
+      ratio(pos).as("positive"),
+      ratio(neg).as("negative"),
+      ratio(neu).as("neutral"),
+      when(compound >= 0.05, "positive")
+        .when(compound <= -0.05, "negative")
+        .otherwise("neutral").as("sentiment_label"))
+  }
+
   /** Hawkish/dovish policy-lexicon scorer (ref fed_sentiment/lexicon.py
     * :116-167): weighted word-boundary phrase counts (multi-word
     * phrases supported, non-overlapping), net = (H-D)/(H+D) in [-1,1]

@@ -54,7 +54,120 @@ object SentimentQueries {
   private def oSnap(x: String, n: Int): String =
     s"CAST(ROUND(CAST($x AS DECIMAL(18,6)), $n) AS DOUBLE) + 0.0"
 
+  /** Heuristic word lists for [[TextOps.vaderSentimentFull]], drawn
+    * from the corpus vocabulary (the booster/dampener/negator role
+    * stand-ins — caller-supplied, as the lexicon is). */
+  private val vaderBoosters  = Seq("hash", "vector")
+  private val vaderDampeners = Seq("row", "line")
+  private val vaderNegators  = Seq("the", "a")
+
+  /** q_vader_full_heuristics: the full-heuristics scorer
+    * (booster/dampener distance scaling, 3-token negation window,
+    * !/? punctuation emphasis) over documents, with a deterministic
+    * punctuation fixture appended so the emphasis branches are
+    * exercised. Integer ×10⁶ valence arithmetic on both sides.
+    */
+  private val vaderFullDef: QueryDef = QueryDef(
+    "q_vader_full_heuristics",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d = T(s, dir).documents
+        .withColumn("txt", concat(col("text"),
+          repeat(lit("!"), (col("doc_id") % 6).cast("int")),
+          repeat(lit("?"), (col("doc_id") % 5).cast("int"))))
+      val scored = d.withColumn("sent", TextOps.vaderSentimentFull(
+        col("txt"), vaderLexicon10, vaderBoosters, vaderDampeners, vaderNegators))
+      scored.select(col("doc_id"), col("sent.compound").as("compound"),
+        col("sent.positive").as("positive"), col("sent.negative").as("negative"),
+        col("sent.neutral").as("neutral"),
+        col("sent.sentiment_label").as("sentiment_label"))
+    },
+    Some {
+      val baseCase = vaderLexicon10
+        .map { case (w, s) => s"WHEN '$w' THEN CAST(${s.toLong * 100000L} AS BIGINT)" }
+        .mkString(" ")
+      def base(x: String) = s"(CASE $x $baseCase ELSE CAST(0 AS BIGINT) END)"
+      def inList(x: String, ws: Seq[String]) = s"$x IN (${ws.map(w => s"'$w'").mkString(", ")})"
+      val distBoost = Seq(293000L, 278350L, 263700L)
+      val b   = base("t[i]")
+      val sgn = s"(CASE WHEN $b > 0 THEN 1 ELSE -1 END)"
+      val boostTerms = (1 to 3).map { dd =>
+        s"""(CASE WHEN i - $dd >= 1 AND ${inList(s"t[i - $dd]", vaderBoosters)}
+               THEN $sgn * ${distBoost(dd - 1)}
+             WHEN i - $dd >= 1 AND ${inList(s"t[i - $dd]", vaderDampeners)}
+               THEN -$sgn * ${distBoost(dd - 1)}
+             ELSE 0 END)"""
+      }.mkString(" + ")
+      val boosted = s"($b + $boostTerms)"
+      val negated = (1 to 3)
+        .map(dd => s"(i - $dd >= 1 AND ${inList(s"t[i - $dd]", vaderNegators)})")
+        .mkString(" OR ")
+      val compound = """CASE WHEN pos + neg + neu > 0
+          THEN ROUND((s / 1000000.0) / SQRT((s / 1000000.0) * (s / 1000000.0) + 15.0), 4) + 0.0
+          ELSE 0.0 END"""
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+          text || REPEAT('!', CAST(doc_id % 6 AS INT)) || REPEAT('?', CAST(doc_id % 5 AS INT)) AS txt,
+          list_filter(string_split_regex(
+            lower(text || REPEAT('!', CAST(doc_id % 6 AS INT)) || REPEAT('?', CAST(doc_id % 5 AS INT))),
+            '\\s+'), x -> len(x) > 0) AS t
+        FROM documents
+      ),
+      vals AS (
+        SELECT doc_id, txt,
+          list_transform(range(1, len(t) + 1), i -> (
+            CASE WHEN $b = 0 THEN CAST(0 AS BIGINT)
+                 WHEN $negated THEN (-($boosted) * 74) // 100
+                 ELSE $boosted END
+          )) AS v
+        FROM toks
+      ),
+      sums AS (
+        SELECT doc_id, txt,
+          CAST(COALESCE(list_sum(v), 0) AS BIGINT) AS sraw,
+          CAST(COALESCE(list_sum(list_transform(v, x -> CASE WHEN x > 0 THEN x + 1000000 ELSE 0 END)), 0) AS BIGINT) AS pos0,
+          CAST(COALESCE(list_sum(list_transform(v, x -> CASE WHEN x < 0 THEN 1000000 - x ELSE 0 END)), 0) AS BIGINT) AS neg0,
+          CAST(COALESCE(list_sum(list_transform(v, x -> CASE WHEN x = 0 THEN 1000000 ELSE 0 END)), 0) AS BIGINT) AS neu
+        FROM vals
+      ),
+      punct AS (
+        SELECT *,
+          LEAST(LENGTH(txt) - LENGTH(REPLACE(txt, '!', '')), 4) * 292000
+          + (CASE WHEN LENGTH(txt) - LENGTH(REPLACE(txt, '?', '')) > 3 THEN 960000
+                  WHEN LENGTH(txt) - LENGTH(REPLACE(txt, '?', '')) > 1
+                    THEN (LENGTH(txt) - LENGTH(REPLACE(txt, '?', ''))) * 180000
+                  ELSE 0 END) AS pp
+        FROM sums
+      ),
+      shaped AS (
+        SELECT doc_id,
+          CASE WHEN sraw > 0 THEN sraw + pp
+               WHEN sraw < 0 THEN sraw - pp
+               ELSE sraw END AS s,
+          pos0 + CASE WHEN sraw > 0 THEN pp ELSE 0 END AS pos,
+          neg0 + CASE WHEN sraw < 0 THEN pp ELSE 0 END AS neg,
+          neu
+        FROM punct
+      )
+      SELECT doc_id,
+        $compound AS compound,
+        CASE WHEN pos + neg + neu > 0
+          THEN ROUND(CAST(pos AS DOUBLE) / (pos + neg + neu), 3) + 0.0 ELSE 0.0 END AS positive,
+        CASE WHEN pos + neg + neu > 0
+          THEN ROUND(CAST(neg AS DOUBLE) / (pos + neg + neu), 3) + 0.0 ELSE 0.0 END AS negative,
+        CASE WHEN pos + neg + neu > 0
+          THEN ROUND(CAST(neu AS DOUBLE) / (pos + neg + neu), 3) + 0.0 ELSE 0.0 END AS neutral,
+        CASE WHEN ($compound) >= 0.05 THEN 'positive'
+             WHEN ($compound) <= -0.05 THEN 'negative'
+             ELSE 'neutral' END AS sentiment_label
+      FROM shaped
+      """
+    }
+  )
+
   val defs: Seq[QueryDef] = Seq(
+    vaderFullDef,
     QueryDef(
       "q_sentiment_scores",
       (s, dir) => {
