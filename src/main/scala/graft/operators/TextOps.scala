@@ -140,14 +140,22 @@ object TextOps {
     * and order-independent on both engines.
     */
   def vaderSentimentFull(
+      df: org.apache.spark.sql.DataFrame,
       text: Column,
       lexicon10: Seq[(String, Int)],
       boosters: Seq[String],
       dampeners: Seq[String],
-      negators: Seq[String]
-  ): Column = {
+      negators: Seq[String],
+      outCol: String = "sent"
+  ): org.apache.spark.sql.DataFrame = {
     val t = tokens(text)
-    // base valence in 1e-6 units
+    // base valence in 1e-6 units. Interpreted-HOF discipline: the
+    // lexicon fold and role lookup run exactly ONCE per token, the
+    // four sums come from ONE aggregate pass with a struct
+    // accumulator, and the sums land in their OWN projection so the
+    // output fields can reference them without re-evaluating the
+    // array pipeline (CollapseProject keeps multi-referenced non-cheap
+    // aliases in their own stage).
     def base(tok: Column): Column =
       lexicon10.foldRight(lit(0L)) { case ((w, s), acc) =>
         when(tok === w, lit(s.toLong * 100000L)).otherwise(acc)
@@ -155,50 +163,59 @@ object TextOps {
     def isIn(tok: Column, words: Seq[String]): Column =
       words.map(tok === lit(_)).reduce(_ || _)
     val distBoost = Seq(293000L, 278350L, 263700L)
-    val v = transform(t, (tok, i) => {
-      val b = base(tok)
+    val bArr = transform(t, tok => base(tok))
+    val roleArr = transform(t, tok =>
+      when(isIn(tok, boosters), 1).when(isIn(tok, dampeners), 2)
+        .when(isIn(tok, negators), 3).otherwise(0))
+    val v = transform(bArr, (b, i) => {
       val sign = when(b > 0, 1L).otherwise(-1L)
+      def role(d: Int) = when(i + lit(1) - lit(d) >= 1,
+        element_at(roleArr, i + lit(1) - lit(d))).otherwise(lit(0))
       val boosted = (1 to 3).foldLeft(b) { (acc, d) =>
-        val p     = element_at(t, i + lit(1) - lit(d))
-        val there = i + lit(1) - lit(d) >= 1
-        when(b =!= 0 && there && isIn(p, boosters), acc + sign * distBoost(d - 1))
-          .when(b =!= 0 && there && isIn(p, dampeners), acc - sign * distBoost(d - 1))
+        when(b =!= 0 && role(d) === 1, acc + sign * distBoost(d - 1))
+          .when(b =!= 0 && role(d) === 2, acc - sign * distBoost(d - 1))
           .otherwise(acc)
       }
-      val negated = (1 to 3).map { d =>
-        val there = i + lit(1) - lit(d) >= 1
-        there && isIn(element_at(t, i + lit(1) - lit(d)), negators)
-      }.reduce(_ || _)
+      val negated = (1 to 3).map(d => role(d) === 3).reduce(_ || _)
       when(b =!= 0 && negated, (-boosted * 74L / 100L).cast("long")).otherwise(boosted)
     })
-    def asum(f: Column => Column) = aggregate(v, lit(0L), (a, x) => a + f(x))
-    val sRaw = asum(identity)
+    val unit = 1000000L
+    val acc0 = struct(lit(0L).as("s"), lit(0L).as("p"), lit(0L).as("n"), lit(0L).as("u"))
+    val sums = aggregate(v, acc0, (a, x) => struct(
+      (a.getField("s") + x).as("s"),
+      (a.getField("p") + when(x > 0, x + lit(unit)).otherwise(0L)).as("p"),
+      (a.getField("n") + when(x < 0, lit(unit) - x).otherwise(0L)).as("n"),
+      (a.getField("u") + when(x === 0, lit(unit)).otherwise(0L)).as("u")))
     val nEx  = least(length(text) - length(regexp_replace(text, "!", "")), lit(4))
     val nQm  = length(text) - length(regexp_replace(text, "\\?", ""))
     val ep   = nEx.cast("long") * 292000L
     val qp = when(nQm > 3, 960000L)
       .when(nQm > 1, nQm.cast("long") * 180000L)
       .otherwise(0L)
-    val punct = ep + qp
-    val s     = when(sRaw > 0, sRaw + punct).when(sRaw < 0, sRaw - punct).otherwise(sRaw)
-    val unit  = 1000000L
-    val pos = asum(x => when(x > 0, x + lit(unit)).otherwise(0L)) +
-      when(sRaw > 0, punct).otherwise(0L)
-    val neg = asum(x => when(x < 0, lit(unit) - x).otherwise(0L)) +
-      when(sRaw < 0, punct).otherwise(0L)
-    val neu = asum(x => when(x === 0, lit(unit)).otherwise(0L))
+
+    val staged = df
+      .withColumn("__vs", sums)
+      .withColumn("__vp", ep + qp)
+    val sRaw  = col("__vs.s")
+    val punct = col("__vp")
+    val s   = when(sRaw > 0, sRaw + punct).when(sRaw < 0, sRaw - punct).otherwise(sRaw)
+    val pos = col("__vs.p") + when(sRaw > 0, punct).otherwise(0L)
+    val neg = col("__vs.n") + when(sRaw < 0, punct).otherwise(0L)
+    val neu = col("__vs.u")
     val tot = pos + neg + neu
     val sD  = s.cast("double") / unit.toDouble
     val compound = when(tot > 0, round(sD / sqrt(sD * sD + 15.0), 4)).otherwise(lit(0.0))
     def ratio(m: Column) = when(tot > 0, round(m.cast("double") / tot, 3)).otherwise(lit(0.0))
-    struct(
-      compound.as("compound"),
-      ratio(pos).as("positive"),
-      ratio(neg).as("negative"),
-      ratio(neu).as("neutral"),
-      when(compound >= 0.05, "positive")
-        .when(compound <= -0.05, "negative")
-        .otherwise("neutral").as("sentiment_label"))
+    staged
+      .withColumn(outCol, struct(
+        compound.as("compound"),
+        ratio(pos).as("positive"),
+        ratio(neg).as("negative"),
+        ratio(neu).as("neutral"),
+        when(compound >= 0.05, "positive")
+          .when(compound <= -0.05, "negative")
+          .otherwise("neutral").as("sentiment_label")))
+      .drop("__vs", "__vp")
   }
 
   /** Hawkish/dovish policy-lexicon scorer (ref fed_sentiment/lexicon.py

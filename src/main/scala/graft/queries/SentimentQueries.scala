@@ -75,8 +75,8 @@ object SentimentQueries {
         .withColumn("txt", concat(col("text"),
           repeat(lit("!"), (col("doc_id") % 6).cast("int")),
           repeat(lit("?"), (col("doc_id") % 5).cast("int"))))
-      val scored = d.withColumn("sent", TextOps.vaderSentimentFull(
-        col("txt"), vaderLexicon10, vaderBoosters, vaderDampeners, vaderNegators))
+      val scored = TextOps.vaderSentimentFull(
+        d, col("txt"), vaderLexicon10, vaderBoosters, vaderDampeners, vaderNegators)
       scored.select(col("doc_id"), col("sent.compound").as("compound"),
         col("sent.positive").as("positive"), col("sent.negative").as("negative"),
         col("sent.neutral").as("neutral"),

@@ -62,7 +62,7 @@ object SnapshotQueries {
   /** Month-start snapshot spine cutoffs (the reference's
     * data-availability knob, mapped into the synthetic date range). */
   private val SummaryCutoff = "1996-07-01"
-  private val FredCutoff    = "1998-01-01"
+  private val FredCutoff    = "1998-07-01"
 
   // ------------------------------------------------------------------
   // OHLC summary snapshot template (us_sector_summary_snapshot.sql)
