@@ -515,6 +515,9 @@ object AnalysisQueries2 {
         when(col("prev_econ_value").isNotNull && col("prev_econ_value") =!= 0,
           (col("value") - col("prev_econ_value")) / col("prev_econ_value") * 100))
       .filter(col("econ_mom_change_pct").isNotNull)
+      // both output branches (corr + quintile) re-derive this frame —
+      // persist so bha computes once, not twice
+      .persist()
 
     def condSum(cond: Column, v: Column): Column =
       sum(when(cond, v).cast(DecimalType(18, 6)))
@@ -699,7 +702,9 @@ object AnalysisQueries2 {
   private val LeadingEconSnapCutoff = "1998-07-01"
 
   private def leadingEconSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val bhaDf = baseHistorical(s, dir)
+    // referenced twice (spine derivation + snapshot join) — persist so
+    // the base_historical pipeline runs once
+    val bhaDf = baseHistorical(s, dir).persist()
     val spine = bhaDf
       .filter(col("date") >= to_date(lit(LeadingEconSnapCutoff)))
       .select(trunc(col("date"), "month").as("snapshot_date"))

@@ -65,10 +65,16 @@ object FredQueries {
       li.groupBy(code.as("series_code"), to_date(col("l_shipdate")).as("d"))
         .agg(QueryDef.rdiv(sum(col("l_extendedprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
           .as("value"))
+    // persisted: several consumers (grain gate + monthly aggs + anchor
+    // scans) reference this staging more than once in one plan — the
+    // three fact-table aggregation passes must not repeat per branch
+    // (same contract as FredSignalQueries.stgFred; Verify/Bench clear
+    // the cache between queries)
     fam(concat(lit("flag_"), col("l_returnflag")))
       .unionAll(fam(concat(lit("supp_"), col("l_suppkey") % 23)))
       .unionAll(fam(concat(lit("part_"), col("l_partkey") % 4999)))
       .withColumn("series_name", concat(lit("Series "), col("series_code")))
+      .persist()
   }
 
   val fredSeriesSql = s"""
