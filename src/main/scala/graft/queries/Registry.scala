@@ -24,7 +24,8 @@ object Registry {
       MarketsQueries2.defs ++ DataQualityQueries.defs ++ SnapshotQueries.defs ++
       CommodityQueries.defs ++ RedditStagingQueries.defs ++
       SemanticLayerQueries.defs ++ MarketSignalsQueries.defs ++
-      StagingMarketQueries.defs ++ FomcStagingQueries.defs
+      StagingMarketQueries.defs ++ FomcStagingQueries.defs ++
+      DataTestQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
