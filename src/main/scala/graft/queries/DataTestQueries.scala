@@ -136,6 +136,44 @@ object DataTestQueries {
     )"""
 
   // ---------------------------------------------------------------
+  // Dagster asset-check: per-partition weekly coverage (ref
+  // macro_agents/defs/domains/markets/checks.py:22-90).
+  // ---------------------------------------------------------------
+
+  /** check_weekly_data_coverage: a calendar-generated weekly spine over
+    * the trailing year, crossed with every observed partition value,
+    * anti-joined against observed (partition, week) pairs; rows are
+    * the MISSING weeks with the reference's "start to end" range
+    * label. `today` anchors to the table's max date (the reference
+    * uses the wall clock, which is nondeterministic in a test corpus).
+    * Scale: the spine (53 rows) × partitions frame broadcasts; the
+    * observed-weeks side is one distinct over a pruned scan. */
+  def checkWeeklyCoverage(df: DataFrame, partitionCol: String,
+                          dateCol: String): DataFrame = {
+    val anchor = df.agg(max(col(dateCol).cast("date")).as("today"))
+      .select(col("today"), date_sub(col("today"), 365).as("year_ago"))
+    val spine = anchor.select(
+      explode(sequence(col("year_ago"), col("today"),
+        expr("interval 1 day"))).as("d"), col("year_ago"), col("today"))
+      .select(date_trunc("week", col("d")).cast("date").as("week_start"),
+        col("year_ago"), col("today"))
+      .distinct()
+    val parts = df.select(col(partitionCol).as("pval")).distinct()
+    val dataWeeks = df
+      .crossJoin(broadcast(anchor))
+      .filter(col(dateCol).cast("date") >= col("year_ago") and
+        col(dateCol).cast("date") <= col("today"))
+      .select(col(partitionCol).as("pval"),
+        date_trunc("week", col(dateCol).cast("date")).cast("date").as("week_start"))
+      .distinct()
+    broadcast(spine).crossJoin(parts)
+      .join(dataWeeks, Seq("pval", "week_start"), "left_anti")
+      .select(col("pval").as(partitionCol), col("week_start"),
+        concat(col("week_start").cast("string"), lit(" to "),
+          date_add(col("week_start"), 6).cast("string")).as("week_range"))
+  }
+
+  // ---------------------------------------------------------------
   // Declared queries.
   // ---------------------------------------------------------------
 
@@ -362,6 +400,38 @@ object DataTestQueries {
           ON s.series_code = o.series_code AND s.week_start = o.week_start
         WHERE o.week_start IS NULL
         GROUP BY s.series_code
+      """)
+    ),
+    QueryDef(
+      "q_check_weekly_coverage",
+      (s, dir) => checkWeeklyCoverage(
+        graft.queries.FredSignalQueries
+          .stgFred(s, dir, Seq("INDPRO", "KCFSI", "GDPC1")),
+        "series_code", "date"),
+      Some(s"""
+        WITH ${graft.queries.FredSignalQueries.stgFredSql(Seq("INDPRO", "KCFSI", "GDPC1"))},
+        anchor AS (
+          SELECT MAX(date) AS today, MAX(date) - INTERVAL 365 DAY AS year_ago
+          FROM stg
+        ),
+        spine AS (
+          SELECT DISTINCT CAST(DATE_TRUNC('week', d) AS DATE) AS week_start
+          FROM anchor, UNNEST(generate_series(CAST(year_ago AS DATE), today, INTERVAL 1 DAY)) AS t(d)
+        ),
+        parts AS (SELECT DISTINCT series_code FROM stg),
+        data_weeks AS (
+          SELECT DISTINCT series_code,
+            CAST(DATE_TRUNC('week', date) AS DATE) AS week_start
+          FROM stg, anchor
+          WHERE date >= year_ago AND date <= today
+        )
+        SELECT p.series_code, sp.week_start,
+          CAST(sp.week_start AS VARCHAR) || ' to ' ||
+            CAST(sp.week_start + INTERVAL 6 DAY AS DATE) AS week_range
+        FROM spine sp CROSS JOIN parts p
+        LEFT JOIN data_weeks dw
+          ON p.series_code = dw.series_code AND sp.week_start = dw.week_start
+        WHERE dw.week_start IS NULL
       """)
     )
   )

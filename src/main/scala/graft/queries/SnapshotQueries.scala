@@ -90,6 +90,10 @@ object SnapshotQueries {
           .when(col("trade_date") >= add_months(col("snapshot_date"), -6), "6_months")
           .when(col("trade_date") >= add_months(col("snapshot_date"), -12), "1_year")
           .otherwise("5_years"))
+      // persisted: fans out to the start/end price picks + the
+      // aggregate — three recomputations of the spine-amplified join
+      // otherwise (VERDICT r2 §wrong-2 shape)
+      .persist()
     val pk = Seq(col("snapshot_date"), col("symbol"), col("time_period"))
     val wS = Window.partitionBy(pk: _*).orderBy(col("trade_date").asc, col("adj_open").asc)
     val wE = Window.partitionBy(pk: _*).orderBy(col("trade_date").desc, col("adj_close").desc)
@@ -289,6 +293,7 @@ object SnapshotQueries {
           .when(col("trade_date") >= add_months(col("snapshot_date"), -6), "6_months")
           .when(col("trade_date") >= add_months(col("snapshot_date"), -12), "1_year")
           .otherwise("5_years"))
+      .persist() // same three-branch fan-out as summarizeSnapshot
     val pk = Seq(col("snapshot_date"), col("commodity_name"), col("commodity_unit"), col("time_period"))
     val wS = Window.partitionBy(pk: _*).orderBy(col("trade_date").asc, col("price").asc)
     val wE = Window.partitionBy(pk: _*).orderBy(col("trade_date").desc, col("price").desc)
@@ -439,6 +444,7 @@ object SnapshotQueries {
       .distinct()
     val windowed = fred.join(broadcast(spine),
       col("d") >= add_months(col("snapshot_date"), -12) && col("d") <= col("snapshot_date"))
+      .persist() // feeds both the grain classifier and the monthly aggs
     val grain = windowed
       .groupBy(col("snapshot_date").as("g_snap"), col("series_code").as("g_code"))
       .agg(count(lit(1)).as("entry_count"))
