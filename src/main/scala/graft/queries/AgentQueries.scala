@@ -78,7 +78,10 @@ object AgentQueries {
   // ------------------------------------------------------------------
 
   private def signalHistory(s: SparkSession, dir: String): DataFrame = {
-    val inst = MiscModelQueries.signalInstances(s, dir)
+    // persisted: both grain branches aggregate the same instance frame
+    // — without the cache the whole signal-instance pipeline (bars →
+    // indicators → events → forward joins) runs twice
+    val inst = MiscModelQueries.signalInstances(s, dir).persist()
 
     def branch(grain: String, symExpr: Column): DataFrame =
       inst

@@ -318,6 +318,7 @@ object MiscModelQueries {
         Horizons.map(h => lead(col("close"), h).over(w).as(s"fwd_close_$h")) ++
         Seq(max(col("high")).over(fEx).as("max_high_fwd"),
           min(col("low")).over(fEx).as("min_low_fwd"))): _*)
+      .persist() // feeds the benchmark slice AND the trigger join
 
     val bench = spine.filter(col("symbol") === "A")
       .select(col("d").as("b_d") +:

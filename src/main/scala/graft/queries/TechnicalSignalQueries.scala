@@ -424,7 +424,9 @@ object TechnicalSignalQueries {
   // ------------------------------------------------------------------
 
   def currentSetups(s: SparkSession, dir: String): DataFrame = {
-    val events = signalEvents(s, dir)
+    // persisted: referenced by the latest-bar derivation AND the final
+    // join — the indicator/event pipeline must not run twice
+    val events = signalEvents(s, dir).persist()
     val maxD = Tables(s, dir).lineitem.agg(max(to_date(col("l_shipdate"))).as("__maxd"))
     val latest = events.groupBy(col("symbol").as("lb_sym")).agg(max(col("d")).as("latest_date"))
       .crossJoin(broadcast(maxD))
