@@ -25,7 +25,8 @@ object Registry {
       CommodityQueries.defs ++ RedditStagingQueries.defs ++
       SemanticLayerQueries.defs ++ MarketSignalsQueries.defs ++
       StagingMarketQueries.defs ++ FomcStagingQueries.defs ++
-      DataTestQueries.defs ++ DocumentExtractionQueries.defs
+      DataTestQueries.defs ++ DocumentExtractionQueries.defs ++
+      DataDictionaryQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
