@@ -69,4 +69,30 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "LSH candidate join degenerated to nested-loop join")
   }
+
+  test("semantic layer prunes unused window columns through the shared analysis_return") {
+    // asset_daily_returns consumes 3 of the 20 horizon measures; the
+    // optimized plan must not compute the other 17 window expressions
+    // (std_diff_1mo etc. would show up as window aliases).
+    val optimized = SparkEntry.queries("q_asset_daily_returns")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("std_diff_1mo"),
+      "unused horizon columns must be pruned from the shared window family")
+    assert(!optimized.contains("high_9mo"),
+      "unused horizon columns must be pruned from the shared window family")
+  }
+
+  test("data tests keep the single-scan shape (no join in the generic tests)") {
+    val plan = executedPlan("q_test_ohlc_consistency")
+    assert(!plan.contains("Join"), "a generic dbt test is one scan + filter")
+    val agg = executedPlan("q_test_unique_combination")
+    assert(agg.contains("partial_count") || agg.contains("partial"),
+      "grain-duplicate test must use partial aggregation")
+  }
+
+  test("weekly coverage check broadcasts the calendar spine side") {
+    val plan = executedPlan("q_check_weekly_coverage")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "spine × partitions must broadcast, not shuffle the observed side twice")
+  }
 }
