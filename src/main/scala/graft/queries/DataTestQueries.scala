@@ -251,22 +251,24 @@ object DataTestQueries {
       // row-count-preserving, so model grain == universe grain.
       "q_test_upstream_market_grain_duplicates",
       (s, dir) => {
-        def dup(name: String, m: DataFrame) = m
+        // both tested models run through ONE analysisReturn (distinct
+        // symbol prefixes keep the window partitions independent —
+        // same shared-run trick as SemanticLayerQueries.layerAr)
+        val uni = MarketAnalysisQueries.universe(s, dir,
+            concat(lit("SP_"), col("l_suppkey") % 100), "NYSE")
+          .unionByName(MarketAnalysisQueries.universe(s, dir,
+            concat(lit("SECT_"), col("l_returnflag")), "NYSEARCA"))
+        graft.models.MarketAnalysisReturn.analysisReturn(uni)
           .groupBy(col("symbol"), col("exchange"), col("date"))
           .agg(count(lit(1)).as("duplicate_count"))
           .filter(col("duplicate_count") > 1)
-          .select(lit(name).as("model_name"),
+          .select(
+            when(col("symbol").startsWith("SP_"),
+              "sp500_companies_analysis_return")
+              .otherwise("us_sector_analysis_return").as("model_name"),
             concat_ws(":", col("symbol"), col("exchange"),
               col("date").cast("string")).as("grain_key"),
             col("duplicate_count"))
-        val sp = MarketAnalysisQueries.universe(s, dir,
-          concat(lit("SP_"), col("l_suppkey") % 100), "NYSE")
-        val us = MarketAnalysisQueries.universe(s, dir,
-          concat(lit("SECT_"), col("l_returnflag")), "NYSEARCA")
-        dup("sp500_companies_analysis_return",
-          graft.models.MarketAnalysisReturn.analysisReturn(sp))
-          .unionAll(dup("us_sector_analysis_return",
-            graft.models.MarketAnalysisReturn.analysisReturn(us)))
       },
       Some(s"""
         WITH sp AS (
