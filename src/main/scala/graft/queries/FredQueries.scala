@@ -54,9 +54,19 @@ object FredQueries {
 
   /** One observation row per (series_code, d): daily-grain staging.
     * Shared with the other government named models (fred_series_grain,
-    * housing_mortgage_rates). */
-  def fredSeries(s: SparkSession, dir: String): DataFrame = {
-    val li = T(s, dir).lineitem
+    * housing_mortgage_rates).
+    *
+    * `minDate`: callers whose downstream windows provably never reach
+    * earlier observations (the snapshot models' trailing year below a
+    * static cutoff) pass the bound so it lands IN the parquet scan as
+    * a pushed filter — at 100 TB that is the difference between
+    * scanning the full history and one trailing slice. Results are
+    * identical by construction (rows below the bound cannot join any
+    * snapshot window). */
+  def fredSeries(s: SparkSession, dir: String,
+                 minDate: Option[String] = None): DataFrame = {
+    val li0 = T(s, dir).lineitem
+    val li = minDate.fold(li0)(d => li0.filter(to_date(col("l_shipdate")) >= to_date(lit(d))))
     // per-day value is an int-ratio quotient (decimal sum / count):
     // divide in DECIMAL so .xxxx5 boundaries round half-up identically
     // on both engines (rdiv pattern; a raw-double round is

@@ -437,7 +437,10 @@ object SnapshotQueries {
   // ------------------------------------------------------------------
 
   private def fredSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val fred = FredQueries.fredSeries(s, dir)
+    // trailing-year windows below the static cutoff never see earlier
+    // observations — push the bound into the staging's parquet scan
+    val minD = java.time.LocalDate.parse(FredCutoff).minusMonths(12).toString
+    val fred = FredQueries.fredSeries(s, dir, Some(minD))
     val spine = fred
       .filter(col("d") >= to_date(lit(FredCutoff)))
       .select(trunc(col("d"), "month").as("snapshot_date"))
