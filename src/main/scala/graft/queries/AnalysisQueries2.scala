@@ -93,31 +93,19 @@ object AnalysisQueries2 {
     )"""
 
   def baseHistorical(s: SparkSession, dir: String): DataFrame = {
-    // ONE fact scan for all five universes: each lineitem row explodes
-    // to its five (symbol, exchange) tags, then a single groupBy and a
-    // single analysisReturn run — the per-universe window partitions
-    // (symbol, exchange) never interact because every universe has a
-    // distinct symbol prefix, so results are identical to five separate
-    // runs at one fifth of the scan/aggregation cost.
-    val key = md5(concat_ws("|",
-      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-    val tags = array(Universes.map { case (_, bucket, _, ex, _) =>
-      struct(bucket.as("sym"), lit(ex).as("ex"))
-    }: _*)
-    val uniExact = T(s, dir).lineitem
-      .select(col("l_extendedprice"), col("l_quantity"), col("l_shipdate"),
-        key.as("__k"), explode(tags).as("u"))
-      .groupBy(col("u.sym").as("symbol"), col("u.ex").as("exchange"),
-        to_date(col("l_shipdate")).as("date"))
-      .agg(
-        max(col("l_extendedprice")).as("high"),
-        min(col("l_extendedprice")).as("low"),
-        max_by(col("l_extendedprice"), col("__k")).as("close"),
-        QueryDef.r4(QueryDef.dsum(col("l_quantity"))).as("volume"))
-      .withColumn("adj_close", col("close") * 0.5)
-      .withColumn("adj_high", col("high") * 0.5)
-      .withColumn("adj_low", col("low") * 0.5)
-      .withColumn("adj_volume", col("volume") * 2)
+    // ONE analysisReturn run for all five universes: the per-universe
+    // aggregations union BEFORE the return model, so the landings join
+    // and RANGE window family run once over the combined frame (the
+    // per-universe window partitions (symbol, exchange) never interact
+    // because every universe has a distinct symbol prefix, so results
+    // are identical to five separate runs). Union-of-aggregations
+    // beats an exploded-tag single scan here: partial aggregation
+    // collapses each branch map-side before its exchange, while an
+    // explode pushes every fact row × 5 tags through the shuffle
+    // writer (same measurement as SemanticLayerQueries.layerAr).
+    val uniExact = Universes.map { case (_, bucket, _, ex, _) =>
+      MarketAnalysisQueries.universe(s, dir, bucket, ex)
+    }.reduce(_ unionByName _)
     val catCol = Universes.foldLeft(lit(null).cast("string")) {
       case (acc, (_, _, _, ex, cat)) => when(col("exchange") === ex, lit(cat)).otherwise(acc)
     }
