@@ -89,24 +89,27 @@ object MarketsQueries2 {
       ComparisonMeta.toDF("cm_sym", "comparison_universe", "comparison_name")
     }
 
-    def dailyReturns(uni: DataFrame, symCol: String, retCol: String): DataFrame = {
+    // ONE analysisReturn over the three universes (distinct exchanges
+    // keep the window partitions independent); every consumer below —
+    // daily returns, correlations, latest performance — slices this
+    // shared run, so the universe aggregation happens once, not six
+    // times (the internal `daily` persist carries it).
+    val arAll = MarketAnalysisReturn.analysisReturn(
+      Seq(MarketAnalysisQueries.universe(s, dir, factorBucket, "FACT"),
+        MarketAnalysisQueries.universe(s, dir, AnalysisQueries4.etfBucket, "NYSEARCA"),
+        MarketAnalysisQueries.universe(s, dir, idxBucket, "INDEX"))
+        .reduce(_ unionByName _))
+
+    def dailyReturns(exchanges: Seq[String], symCol: String, retCol: String): DataFrame = {
       val w = Window.partitionBy(col("symbol"), col("exchange")).orderBy(col("date"))
-      uni.filter(col("adj_close").isNotNull)
-        .withColumn(retCol,
-          (col("adj_close") - lag(col("adj_close"), 1).over(w)) /
-            when(lag(col("adj_close"), 1).over(w) =!= 0, lag(col("adj_close"), 1).over(w)))
+      val px = lag(col("current_price"), 1).over(w)
+      arAll.filter(col("exchange").isin(exchanges.map(x => x: Any): _*))
+        .withColumn(retCol, (col("current_price") - px) / when(px =!= 0, px))
         .select(col("symbol").as(symCol), col("date"), col(retCol))
     }
-    val factorPx = dailyReturns(
-      MarketAnalysisQueries.universe(s, dir, factorBucket, "FACT"),
-      "factor_symbol", "factor_daily_return")
-    val sectorPx = dailyReturns(
-      MarketAnalysisQueries.universe(s, dir, AnalysisQueries4.etfBucket, "NYSEARCA"),
+    val factorPx = dailyReturns(Seq("FACT"), "factor_symbol", "factor_daily_return")
+    val comparisonPx = dailyReturns(Seq("NYSEARCA", "INDEX"),
       "comparison_symbol", "comparison_daily_return")
-    val idxPx = dailyReturns(
-      MarketAnalysisQueries.universe(s, dir, idxBucket, "INDEX"),
-      "comparison_symbol", "comparison_daily_return")
-    val comparisonPx = sectorPx.unionAll(idxPx)
 
     val latest = factorPx.select(col("date").as("f_date"))
       .join(comparisonPx.select(col("date").as("c_date")),
@@ -131,32 +134,18 @@ object MarketsQueries2 {
         round(corr(col("factor_daily_return"), col("comparison_daily_return")), 4)
           .as("corr_1yr"))
 
-    def latestPerf(uni: DataFrame, symCol: String, pfx: String): DataFrame = {
-      val ar = MarketAnalysisReturn.analysisReturn(uni)
-      val w  = Window.partitionBy(col("symbol")).orderBy(col("date").desc)
-      ar.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    def latestPerf(exchanges: Seq[String], symCol: String, pfx: String): DataFrame = {
+      val w = Window.partitionBy(col("symbol")).orderBy(col("date").desc)
+      arAll.filter(col("exchange").isin(exchanges.map(x => x: Any): _*))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("symbol").as(symCol),
           col("pct_change_1mo").as(s"${pfx}_return_1mo"),
           col("pct_change_3mo").as(s"${pfx}_return_3mo"),
           col("pct_change_1yr").as(s"${pfx}_return_1yr"),
           col("std_diff_1yr").as(s"${pfx}_volatility_proxy_1yr"))
     }
-    val factorPerf = latestPerf(
-      MarketAnalysisQueries.universe(s, dir, factorBucket, "FACT"), "fp_sym", "factor")
-    val comparisonPerf = {
-      val sec = MarketAnalysisReturn.analysisReturn(
-        MarketAnalysisQueries.universe(s, dir, AnalysisQueries4.etfBucket, "NYSEARCA"))
-      val idx = MarketAnalysisReturn.analysisReturn(
-        MarketAnalysisQueries.universe(s, dir, idxBucket, "INDEX"))
-      val all = sec.unionAll(idx)
-      val w   = Window.partitionBy(col("symbol")).orderBy(col("date").desc)
-      all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("symbol").as("cp_sym"),
-          col("pct_change_1mo").as("sector_return_1mo"),
-          col("pct_change_3mo").as("sector_return_3mo"),
-          col("pct_change_1yr").as("sector_return_1yr"),
-          col("std_diff_1yr").as("sector_volatility_proxy_1yr"))
-    }
+    val factorPerf = latestPerf(Seq("FACT"), "fp_sym", "factor")
+    val comparisonPerf = latestPerf(Seq("NYSEARCA", "INDEX"), "cp_sym", "sector")
 
     corrs
       .join(broadcast(fm), col("factor_symbol") === col("fm_sym"), "left")
