@@ -288,7 +288,7 @@ object CommodityQueries {
   // ------------------------------------------------------------------
 
   /** agent_commodity_performance.sql projection over one summary. */
-  private def agentPerfCols(category: String): Seq[Column] = Seq(
+  private def agentPerfCols(category: Column): Seq[Column] = Seq(
     col("commodity_name"), col("commodity_name").as("commodity"), col("commodity_unit"),
     col("time_period"), col("period_start_date"), col("period_end_date"),
     col("trading_days"), col("total_return_pct"), col("avg_daily_return_pct"),
@@ -298,7 +298,7 @@ object CommodityQueries {
     col("best_day_change"), col("best_day_change").as("best_day_pct_change"),
     col("positive_days"), col("negative_days"), col("neutral_days"),
     col("period_start_price"), col("period_end_price"),
-    lit(category).as("commodity_category"),
+    category.as("commodity_category"),
     lit(null).cast("date").as("snapshot_date"))
 
   private val agentPerfColsSql =
@@ -326,9 +326,23 @@ object CommodityQueries {
     } ++ Seq(
       QueryDef(
         "q_agent_commodity_performance",
-        (s, dir) => Universes.map { case (_, bucket, _, unit, cat) =>
-          commoditySummary(staging(s, dir, bucket(s), unit)).select(agentPerfCols(cat): _*)
-        }.reduce(_ unionByName _),
+        // ONE summary run over the unioned stagings: the bounds scalar
+        // (max date) and every window/aggregation key are independent
+        // per commodity prefix, so one shared pipeline equals three
+        // (each universe's date domain is the full ship-date range)
+        (s, dir) => {
+          val stg = Universes.map { case (_, bucket, _, unit, _) =>
+            staging(s, dir, bucket(s), unit)
+          }.reduce(_ unionByName _)
+          val cat = Universes.foldLeft(lit(null).cast("string")) {
+            case (acc, (_, _, _, _, c)) =>
+              val pfx = c match {
+                case "energy" => "EN_"; case "agriculture" => "AG_"; case _ => "IN_"
+              }
+              when(col("commodity_name").startsWith(pfx), lit(c)).otherwise(acc)
+          }
+          commoditySummary(stg).select(agentPerfCols(cat): _*)
+        },
         Some(Universes.map { case (_, _, bucketSql, unit, cat) =>
           s"""SELECT $agentPerfColsSql, '$cat' AS commodity_category,
                 CAST(NULL AS DATE) AS snapshot_date

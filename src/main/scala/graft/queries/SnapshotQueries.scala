@@ -616,7 +616,7 @@ object SnapshotQueries {
 
   /** Commodity flavor of the perf projection (commodity_name/unit keys,
     * ref agent_commodity_performance_snapshot.sql:11-44). */
-  private def commodityPerfCols(category: String): Seq[Column] = Seq(
+  private def commodityPerfCols(category: Column): Seq[Column] = Seq(
     col("commodity_name"), col("commodity_name").as("commodity"), col("commodity_unit"),
     col("time_period"), col("period_start_date"), col("period_end_date"),
     col("trading_days"), col("total_return_pct"), col("avg_daily_return_pct"),
@@ -626,7 +626,7 @@ object SnapshotQueries {
     col("best_day_change"), col("best_day_change").as("best_day_pct_change"),
     col("positive_days"), col("negative_days"), col("neutral_days"),
     col("period_start_price"), col("period_end_price"),
-    lit(category).as("commodity_category"), col("snapshot_date"))
+    category.as("commodity_category"), col("snapshot_date"))
 
   private val commodityPerfColsSql =
     """commodity_name, commodity_name AS commodity, commodity_unit, time_period,
@@ -638,15 +638,21 @@ object SnapshotQueries {
        positive_days, negative_days, neutral_days, period_start_price, period_end_price"""
 
   private def agentCommodityPerfSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val branches = CommodityUniverses.map { case (_, bucket, _, unit, cat) =>
-      commoditySnapshot(commodityStaging(s, dir, bucket(s), unit), SummaryCutoff)
-        .select(commodityPerfCols(cat): _*)
-    }
+    // ONE snapshot run over the unioned stagings (prefix-independent
+    // spine/windows — same shared-run trick as the non-snapshot agent)
+    val stg = CommodityUniverses.map { case (_, bucket, _, unit, _) =>
+      commodityStaging(s, dir, bucket(s), unit)
+    }.reduce(_ unionByName _)
+    val cat = when(col("commodity_name").startsWith("EN_"), "energy")
+      .when(col("commodity_name").startsWith("AG_"), "agriculture")
+      .otherwise("input")
+    val merged = commoditySnapshot(stg, SummaryCutoff)
+      .select(commodityPerfCols(cat): _*)
     val w = Window
       .partitionBy(col("snapshot_date"), col("commodity_category"), col("commodity_name"),
         col("commodity_unit"), col("time_period"))
       .orderBy(col("period_end_date").desc, col("period_start_date").desc)
-    qualifyRowNumber(branches.reduce(_ unionByName _), w)
+    qualifyRowNumber(merged, w)
   }
 
   private val agentCommodityPerfSnapshotSql: String = {
