@@ -445,12 +445,21 @@ object SnapshotQueries {
       .filter(col("d") >= to_date(lit(FredCutoff)))
       .select(trunc(col("d"), "month").as("snapshot_date"))
       .distinct()
-    val windowed = fred.join(broadcast(spine),
-      col("d") >= add_months(col("snapshot_date"), -12) && col("d") <= col("snapshot_date"))
-      .persist() // feeds both the grain classifier and the monthly aggs
-    val grain = windowed
+    // ONE pass over the spine-amplified frame: the monthly aggregation
+    // runs first (and is persisted — it is snapshot×series×month
+    // small), and the grain classifier derives from its counts
+    // (entry_count == sum of monthly cnt) instead of re-aggregating
+    // the raw amplified rows. Replaces a persist of the wide 8M-row
+    // windowed frame + two aggregation passes over it.
+    val monthly = fred.join(broadcast(spine),
+        col("d") >= add_months(col("snapshot_date"), -12) && col("d") <= col("snapshot_date"))
+      .groupBy(col("snapshot_date"), col("series_code"), col("series_name"),
+        trunc(col("d"), "month").as("month"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"), count(lit(1)).as("cnt"))
+      .persist()
+    val grain = monthly
       .groupBy(col("snapshot_date").as("g_snap"), col("series_code").as("g_code"))
-      .agg(count(lit(1)).as("entry_count"))
+      .agg(sum(col("cnt")).as("entry_count"))
       .select(col("g_snap"), col("g_code"),
         when(col("entry_count") >= 200, "Daily")
           .when(col("entry_count") >= 50, "Weekly")
@@ -459,17 +468,14 @@ object SnapshotQueries {
           .when(col("entry_count") >= 1, "Annually")
           .otherwise("Limited Data")
           .as("date_grain"))
-    val aggs = windowed
+    val aggs = monthly
       .join(grain, col("snapshot_date") === col("g_snap") && col("series_code") === col("g_code"))
       .filter(col("date_grain").isin("Daily", "Monthly", "Quarterly", "Weekly"))
-      .groupBy(col("snapshot_date"), col("series_code"), col("series_name"), col("date_grain"),
-        trunc(col("d"), "month").as("month"))
-      .agg(sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"), count(lit(1)).as("cnt"))
       // monthly averages are int-ratio quotients of a decimal sum —
       // they land on exact .xxxx5 boundaries, so divide in DECIMAL
       // (exact half-up) rather than rounding a double (rdiv pattern)
       .withColumn("clean_value", rdiv(col("sum_dec"), col("cnt"), 4))
-      .drop("sum_dec", "cnt")
+      .drop("sum_dec", "cnt", "g_snap", "g_code")
     val w = Window.partitionBy(col("snapshot_date"), col("series_code")).orderBy(col("month"))
     // correct per-horizon numerators — the non-snapshot model's 3m
     // numerator bug is absent in this reference file (ref :119-133)
