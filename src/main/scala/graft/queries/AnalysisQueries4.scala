@@ -359,6 +359,9 @@ object AnalysisQueries4 {
           .when(abs(col("corr_1mo_contemp")) >= 0.3, "Moderate")
           .when(abs(col("corr_1mo_contemp")) >= 0.1, "Weak")
           .otherwise("Negligible"))
+      // persisted: the sector/category rollups and the final join all
+      // re-derive this frame (and the correlation pipeline under it)
+      .persist()
 
     val sectorSummary = ranked
       .groupBy(col("symbol").as("ss_sym"))
@@ -481,6 +484,7 @@ object AnalysisQueries4 {
       .join(regimes, col("month_date") === col("rc_m"))
       .join(broadcast(sn), col("symbol") === col("sn_sym"), "left")
       .filter(col("monthly_return").isNotNull)
+      .persist() // per-regime AND overall stats aggregate this frame
 
     def aggStats(df: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
       df.agg(
@@ -501,6 +505,7 @@ object AnalysisQueries4 {
 
     val perRegime = aggStats(data.groupBy(col("symbol"), col("sector_name"),
       col("sector_type"), col("regime")))
+      .persist() // regime averages + ranked combine both read it
     val overall = aggStats(data.groupBy(col("symbol"), col("sector_name"),
       col("sector_type")))
       .withColumn("regime", lit("Overall"))
