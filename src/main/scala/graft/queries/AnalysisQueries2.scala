@@ -691,8 +691,14 @@ object AnalysisQueries2 {
 
   private def leadingEconSnapshot(s: SparkSession, dir: String): DataFrame = {
     // referenced twice (spine derivation + snapshot join) — persist so
-    // the base_historical pipeline runs once
-    val bhaDf = baseHistorical(s, dir).persist()
+    // the base_historical pipeline runs once. Projected to the consumed
+    // columns FIRST: the cache would otherwise force the RANGE-window
+    // family (high/low/std_diff_1yr), which this model never reads —
+    // ColumnPruning drops those window expressions from the cached plan
+    val bhaDf = baseHistorical(s, dir)
+      .select("symbol", "date", "series_name", "category", "value",
+        "pct_change_3mo", "pct_change_6mo", "pct_change_9mo")
+      .persist()
     val spine = bhaDf
       .filter(col("date") >= to_date(lit(LeadingEconSnapCutoff)))
       .select(trunc(col("date"), "month").as("snapshot_date"))
