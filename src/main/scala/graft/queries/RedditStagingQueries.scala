@@ -23,6 +23,22 @@ object RedditStagingQueries {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** ref social_tickers.py:18-59 — the curated false-positive list. */
+  val TickerBlocklist: Seq[String] = Seq(
+    "USD", "USA", "GDP", "CPI", "PPI", "PCE", "FED", "SEC", "FBI", "CIA",
+    "CEO", "CFO", "CTO", "COO", "IPO", "ETF", "NYSE", "ATH", "ATL", "IMO",
+    "FOMO", "YOLO", "HODL", "LMAO", "EDIT", "PSA", "TLDR", "EPS", "PE",
+    "PB", "ROI", "ROE", "YOY", "QOQ", "MOM", "APR", "APY", "IRA", "K")
+
+  /** extract_tickers 1:1 (ref social_tickers.py:15,63-73): $AAPL-style
+    * cashtags — 1-5 uppercase letters after `$` at a word boundary —
+    * deduplicated, with the blocklist filtered out. Pure Catalyst
+    * (regexp_extract_all + higher-order filter), no UDF. */
+  def extractTickers(text: Column): Column =
+    array_distinct(filter(
+      regexp_extract_all(text, lit("""\$([A-Z]{1,5})\b"""), lit(1)),
+      t => !array_contains(typedLit(TickerBlocklist), t)))
+
   private def subMixed: Column = when(col("user_id") % 5 === 0, "Stocks")
     .when(col("user_id") % 5 === 1, "investing")
     .when(col("user_id") % 5 === 2, "WallStreetBets")
@@ -46,6 +62,43 @@ object RedditStagingQueries {
          ELSE '' END"""
 
   val defs: Seq[QueryDef] = Seq(
+    // reddit_ticker_mentions extraction (ref social_tickers.py): the
+    // cashtag regex + blocklist over document text. The fixture plants
+    // one valid synthetic cashtag per doc, a duplicate mention on
+    // doc_id%7 (exercises dedup), and blocklisted $GDP/$YOLO noise on
+    // doc_id%4 / doc_id%5 (exercises the filter); lowercase `$abc`
+    // never matches the [A-Z] class.
+    QueryDef(
+      "q_ticker_extraction",
+      (s, dir) => {
+        val tick = concat(lit(" $TK"), char(col("doc_id") % 26 + 65))
+        val noisy = concat(
+          col("text"), tick,
+          when(col("doc_id") % 7 === 0, tick).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" $GDP")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" $YOLO")).otherwise(lit("")),
+          lit(" $abc"))
+        T(s, dir).documents
+          .select(col("doc_id"), explode(extractTickers(noisy)).as("ticker"))
+      },
+      Some(s"""
+        WITH noisy AS (
+          SELECT doc_id,
+            text || ' $$TK' || CHR(CAST(65 + doc_id % 26 AS INTEGER))
+              || CASE WHEN doc_id % 7 = 0 THEN ' $$TK' || CHR(CAST(65 + doc_id % 26 AS INTEGER)) ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN ' $$GDP' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' $$YOLO' ELSE '' END
+              || ' $$abc' AS t
+          FROM documents
+        ),
+        extracted AS (
+          SELECT doc_id, UNNEST(regexp_extract_all(t, '\\$$([A-Z]{1,5})\\b', 1)) AS ticker
+          FROM noisy
+        )
+        SELECT DISTINCT doc_id, ticker FROM extracted
+        WHERE ticker NOT IN (${TickerBlocklist.map(t => s"'$t'").mkString(", ")})
+      """)
+    ),
     // stg_reddit_comments.sql: cleaning + engagement/time features over
     // the raw comments fetch.
     QueryDef(
