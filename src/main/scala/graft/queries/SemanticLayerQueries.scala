@@ -32,19 +32,11 @@ object SemanticLayerQueries {
 
   // ---- the four analysis_return branches the layer consumes --------
 
-  private def arBranch(s: SparkSession, dir: String, bucket: Column, ex: String): DataFrame =
-    MarketAnalysisReturn.analysisReturn(
-      MarketAnalysisQueries.universe(s, dir, bucket, ex))
-
   private def arOracle(bucketSql: String, ex: String): String =
     MarketAnalysisReturn.oracleSql(MarketAnalysisQueries.uniCte(bucketSql, ex))
 
-  private def sp500(s: SparkSession, dir: String) =
-    arBranch(s, dir, concat(lit("SP_"), col("l_suppkey") % 100), "NYSE")
   private val sp500Sql = arOracle("'SP_' || CAST(l_suppkey % 100 AS VARCHAR)", "NYSE")
 
-  private def usSector(s: SparkSession, dir: String) =
-    arBranch(s, dir, concat(lit("SECT_"), col("l_returnflag")), "NYSEARCA")
   private val usSectorSql = arOracle("'SECT_' || l_returnflag", "NYSEARCA")
 
   private val factorSql = arOracle("'FAC_' || CAST(l_suppkey % 12 AS VARCHAR)", "NYSEARCA")

@@ -74,6 +74,21 @@ class DataTestSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(lbl == "2024-01-08 to 2024-01-14")
   }
 
+  test("extractTickers matches cashtags, honors blocklist, dedups, needs word boundary") {
+    val df = Seq(
+      ("a", "buy $AAPL and $AAPL again, maybe $MSFT"),
+      ("b", "$GDP is macro, $YOLO is slang, $abc is lowercase"),
+      ("c", "$401K patterns and $TOOLONGG"),
+      ("d", "no tickers here")).toDF("id", "txt")
+    val out = df.select(col("id"),
+        graft.queries.RedditStagingQueries.extractTickers(col("txt")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out("a") == List("AAPL", "MSFT")) // deduped, order preserved
+    assert(out("b") == Nil)                  // blocklist + case
+    assert(out("c") == Nil)                  // $401K: K blocklisted; >5 letters no match
+    assert(out("d") == Nil)
+  }
+
   test("envelopeText strips markup, extracts metadata, prefers symbol-layout paths") {
     val registry = Seq(
       // same content under legacy + symbol layout -> keep symbol layout
