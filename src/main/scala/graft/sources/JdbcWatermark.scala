@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermark-incremental JDBC copy 1:1 (ref
+  * macro_agents/defs/telemetry/telemetry.py:80-95: read
+  * `SELECT MAX(id)` from the destination, then pull only source rows
+  * above it). The predicate is embedded in the JDBC `dbtable`
+  * subquery, so the source database — not Spark — prunes the already-
+  * copied rows; at scale the copy cost is proportional to the delta,
+  * never the table.
+  *
+  * Round 2 carried this shape-only (no JDBC endpoint assumed); Spark
+  * ships the Derby driver, so the round-trip is now real and
+  * spec-verified against an embedded Derby instance
+  * (JdbcWatermarkSpecs).
+  */
+object JdbcWatermark {
+
+  /** Destination-side watermark: MAX(idCol) over the already-copied
+    * rows, None when the destination is empty (telemetry.py falls back
+    * to 0 — callers map None however their id space starts). */
+  def currentWatermark(dest: DataFrame, idCol: String): Option[Long] = {
+    val r = dest.agg(max(col(idCol)).cast("long")).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** Read rows with idCol strictly above the watermark; the filter
+    * runs inside the source database via the pushed-down subquery. */
+  def readIncrement(spark: SparkSession, url: String, table: String,
+                    idCol: String, watermark: Option[Long]): DataFrame = {
+    val src = watermark match {
+      case Some(wm) => s"(SELECT * FROM $table WHERE $idCol > $wm) incr"
+      case None     => table
+    }
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", src)
+      .load()
+  }
+
+  /** One incremental step: append everything above dest's watermark. */
+  def incrementalCopy(spark: SparkSession, url: String, table: String,
+                      idCol: String, dest: DataFrame): DataFrame =
+    dest.unionByName(
+      readIncrement(spark, url, table, idCol, currentWatermark(dest, idCol)))
+}
