@@ -493,7 +493,11 @@ object SnapshotQueries {
         when(col("v1y").isNull || col("v1y") === 0, lit(null))
           .otherwise(round((col("clean_value") - col("v1y")) / col("v1y"), 2)).as("pct_change_1y"),
         col("date_grain"))
-      .persist() // latest-month pick + final join both read it
+    // deliberately NOT persisted: the latest-month pick and the final
+    // join both read it, but the persisted `monthly` frame above
+    // already carries the expensive state — a cache here would force
+    // every lag-window column to materialize even for consumers that
+    // prune them (the wide-persist trap; see SemanticLayerQueries)
     val latest = calc.groupBy(col("snapshot_date").as("m_snap"), col("series_code").as("m_code"))
       .agg(max(col("month")).as("mm"))
     calc.join(latest, col("snapshot_date") === col("m_snap") &&
