@@ -116,4 +116,62 @@ object SinkOps {
       .unionByName(toClose)
       .unionByName(toOpen.select(openCols.map(c => col(c)): _*))
   }
+
+  // ------------------------------------------------------------------
+  // Warehouse hygiene 1:1 (ref resources/bigquery_warehouse.py)
+  // ------------------------------------------------------------------
+
+  /** ref bigquery_warehouse.py:21,33-37 — identifier validation before
+    * any name is interpolated into SQL; up to three dot-separated
+    * plain-identifier segments (project.dataset.table). */
+  private val IdentifierRe =
+    "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*){0,2}$".r
+
+  def validateIdentifier(name: String, kind: String = "identifier"): String = {
+    if (name == null || IdentifierRe.findFirstIn(name).isEmpty)
+      throw new IllegalArgumentException(s"Invalid $kind: $name")
+    name
+  }
+
+  /** ref bigquery_warehouse.py:22-30,40-42 — alias-collapsed canonical
+    * type names, used by drift repair below. */
+  private val TypeAliases = Map(
+    "BOOL" -> "BOOL", "BOOLEAN" -> "BOOL",
+    "DOUBLE" -> "FLOAT64", "FLOAT" -> "FLOAT64", "FLOAT64" -> "FLOAT64",
+    "INT64" -> "INT64", "INTEGER" -> "INT64", "BIGINT" -> "INT64",
+    "LONG" -> "INT64", "STRING" -> "STRING", "VARCHAR" -> "STRING")
+
+  def canonicalType(typeName: String): String = {
+    val up = typeName.toUpperCase
+    TypeAliases.getOrElse(up, up)
+  }
+
+  private val SparkTypeFor = Map(
+    "BOOL" -> "boolean", "FLOAT64" -> "double", "INT64" -> "long",
+    "STRING" -> "string", "DATE" -> "date", "TIMESTAMP" -> "timestamp")
+
+  /** normalize_column_types 1:1 (ref bigquery_warehouse.py:181-244):
+    * repair ONLY the requested columns whose current type drifted from
+    * the desired canonical type, via try_cast (the reference's
+    * SAFE_CAST — bad cells become NULL, never a failed job), leaving
+    * every other column untouched. Returns the repaired frame plus the
+    * mismatched column names (empty → frame returned unchanged). */
+  def normalizeColumnTypes(df: DataFrame,
+                           desired: Map[String, String]): (DataFrame, Seq[String]) = {
+    val mismatched = df.schema.fields.collect {
+      case f if desired.contains(f.name) &&
+        canonicalType(f.dataType.sql) != canonicalType(desired(f.name)) => f.name
+    }.toSeq
+    if (mismatched.isEmpty) (df, Nil)
+    else {
+      val repaired = df.select(df.columns.map { c =>
+        if (mismatched.contains(c)) {
+          val target = SparkTypeFor.getOrElse(canonicalType(desired(c)),
+            desired(c).toLowerCase)
+          expr(s"try_cast(`$c` AS $target)").as(c)
+        } else col(c)
+      }: _*)
+      (repaired, mismatched)
+    }
+  }
 }

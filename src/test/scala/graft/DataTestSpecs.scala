@@ -89,6 +89,29 @@ class DataTestSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("d") == Nil)
   }
 
+  test("validateIdentifier accepts dotted identifiers, rejects injection shapes") {
+    import graft.operators.SinkOps
+    assert(SinkOps.validateIdentifier("events_raw") == "events_raw")
+    assert(SinkOps.validateIdentifier("proj.ds.table") == "proj.ds.table")
+    intercept[IllegalArgumentException](SinkOps.validateIdentifier("a.b.c.d"))
+    intercept[IllegalArgumentException](SinkOps.validateIdentifier("t; DROP TABLE x"))
+    intercept[IllegalArgumentException](SinkOps.validateIdentifier("1table"))
+  }
+
+  test("normalizeColumnTypes repairs only requested drifted columns via try_cast") {
+    import graft.operators.SinkOps
+    val df = Seq(("1", "x", 2.0), ("oops", "y", 3.0)).toDF("id", "tag", "v")
+    val (fixed, mismatched) = SinkOps.normalizeColumnTypes(df,
+      Map("id" -> "INT64", "v" -> "FLOAT64"))
+    assert(mismatched == Seq("id")) // v already canonical FLOAT64 (double)
+    val out = fixed.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+    assert(out.contains((Some(1L), "x")))
+    assert(out.contains((None, "y"))) // bad cell -> NULL, never a failed job
+    assert(fixed.schema("tag").dataType.typeName == "string") // untouched
+    // no drift -> unchanged frame, empty report
+    assert(SinkOps.normalizeColumnTypes(df, Map("tag" -> "STRING"))._2.isEmpty)
+  }
+
   test("envelopeText strips markup, extracts metadata, prefers symbol-layout paths") {
     val registry = Seq(
       // same content under legacy + symbol layout -> keep symbol layout
