@@ -103,4 +103,50 @@ class PropertySpecs extends AnyFunSuite with BeforeAndAfterAll {
       assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
     }
   }
+
+  test("extractTickers: never emits blocklisted or lowercase symbols; stable under repetition") {
+    val block = graft.queries.RedditStagingQueries.TickerBlocklist.toSet
+    for (_ <- 1 to 5) {
+      val toks = (1 to 30).map { _ =>
+        rng.nextInt(4) match {
+          case 0 => "$" + ('A' + rng.nextInt(26)).toChar.toString * (1 + rng.nextInt(5))
+          case 1 => "$" + block.toSeq(rng.nextInt(block.size))
+          case 2 => "$" + ('a' + rng.nextInt(26)).toChar.toString * 3
+          case _ => "word" + rng.nextInt(100)
+        }
+      }
+      val text  = toks.mkString(" ")
+      val df    = Seq(text, text + " " + text).toDF("t") // doubled text too
+      val outs = df
+        .select(graft.queries.RedditStagingQueries.extractTickers(col("t")).as("x"))
+        .collect().map(_.getSeq[String](0).toList)
+      outs.foreach { out =>
+        assert(out.forall(t => t.nonEmpty && t.length <= 5 && t.forall(_.isUpper)))
+        assert(out.forall(t => !block.contains(t)))
+        assert(out.distinct == out)
+      }
+      // dedup makes repetition of the text a no-op on the mention set
+      assert(outs(0).toSet == outs(1).toSet)
+    }
+  }
+
+  test("checkWeeklyCoverage: empty for a complete daily series, non-empty after removing a week") {
+    val days = (0 until 400).map(i =>
+      ("s", java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 2).plusDays(i))))
+    val full = days.toDF("k", "d")
+    assert(graft.queries.DataTestQueries.checkWeeklyCoverage(full, "k", "d").count() == 0)
+    val holed = full.filter(!col("d").between("2023-06-05", "2023-06-11"))
+    val missing = graft.queries.DataTestQueries.checkWeeklyCoverage(holed, "k", "d")
+      .select("week_start").as[java.sql.Date].collect().toSet
+    assert(missing == Set(java.sql.Date.valueOf("2023-06-05")))
+  }
+
+  test("normalizeColumnTypes is idempotent and canonical-type closed") {
+    val df = Seq(("1", 1.5), ("2", 2.5), ("x", 3.5)).toDF("id", "v")
+    val (once, m1)  = SinkOps.normalizeColumnTypes(df, Map("id" -> "INT64"))
+    val (twice, m2) = SinkOps.normalizeColumnTypes(once, Map("id" -> "INT64"))
+    assert(m1 == Seq("id") && m2.isEmpty)
+    assert(once.schema("id").dataType.typeName == "long")
+    assert(once.exceptAll(twice).count() == 0)
+  }
 }
