@@ -90,6 +90,18 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "grain-duplicate test must use partial aggregation")
   }
 
+  test("leading-econ snapshot's shared cache is narrow (RANGE windows pruned)") {
+    // the persisted base_historical projection must not drag the
+    // 1yr RANGE-window family into the cache it never reads
+    val plan = SparkEntry.queries("q_leading_econ_return_indicator_snapshot")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("std_diff_1yr"),
+      "cached base_historical slice must prune the RANGE-window columns")
+    assert(!plan.contains("high_1yr"),
+      "cached base_historical slice must prune the RANGE-window columns")
+    spark.catalog.clearCache()
+  }
+
   test("weekly coverage check broadcasts the calendar spine side") {
     val plan = executedPlan("q_check_weekly_coverage")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
