@@ -38,6 +38,68 @@ object TextQueries {
   )
 
   val defs: Seq[QueryDef] = Seq(
+    // Gopher/C4-style rule-based quality FILTER (public heuristics:
+    // Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2): hard keep/drop
+    // per document with the FIRST failing rule as the drop reason —
+    // the decision layer a training-data pipeline runs on top of the
+    // quality stats. Thresholds sized to the synthetic corpus; the
+    // rule shapes are the published ones (token-count band, mean
+    // word length band, symbol ratio cap, repetition cap via
+    // distinct-token ratio).
+    QueryDef(
+      "q_quality_filter_rules",
+      (s, dir) => {
+        val t  = TextOps.tokens(col("text"))
+        val n  = size(t).cast("long")
+        val awl = TextOps.avgTokenLen(col("text"))
+        val pr  = TextOps.punctRatio(col("text"))
+        val dr  = when(n > 0, size(array_distinct(t)).cast("double") / n)
+          .otherwise(lit(0.0))
+        val reason = when(n < 20, "too_few_tokens")
+          .when(n > 5000, "too_many_tokens")
+          .when(awl < 3.0 || awl > 10.0, "word_length_out_of_band")
+          .when(pr > 0.2, "symbol_ratio")
+          .when(dr < 0.3, "repetitive")
+        T(s, dir).documents.select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          QueryDef.r4(awl).as("avg_token_len"),
+          QueryDef.r4(pr).as("punct_ratio"),
+          QueryDef.r4(dr).as("distinct_ratio"),
+          reason.isNull.as("keep"),
+          reason.as("drop_reason"))
+      },
+      Some(s"""
+        WITH $tokSql,
+        feat AS (
+          SELECT doc_id,
+            CAST(len(t) AS BIGINT) AS n_tokens,
+            CASE WHEN len(t) > 0
+                 THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t) END AS awl,
+            CASE WHEN len(text) > 0 THEN
+              (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0 / len(text)
+              ELSE 0.0 END AS pr,
+            CASE WHEN len(t) > 0 THEN len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END AS dr
+          FROM toks
+        ),
+        ruled AS (
+          SELECT *,
+            CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+                 WHEN n_tokens > 5000 THEN 'too_many_tokens'
+                 WHEN awl < 3.0 OR awl > 10.0 THEN 'word_length_out_of_band'
+                 WHEN pr > 0.2 THEN 'symbol_ratio'
+                 WHEN dr < 0.3 THEN 'repetitive'
+            END AS drop_reason
+          FROM feat
+        )
+        SELECT doc_id, n_tokens,
+          ROUND(awl, 4) + 0.0 AS avg_token_len,
+          ROUND(pr, 4) + 0.0 AS punct_ratio,
+          ROUND(dr, 4) + 0.0 AS distinct_ratio,
+          drop_reason IS NULL AS keep, drop_reason
+        FROM ruled
+      """)
+    ),
     // Exact dedup by content digest (content_hash idiom,
     // document_extraction/models/sec_document_registry.yml)
     QueryDef(
