@@ -70,23 +70,37 @@ object CoverageQueries {
         FROM per_table p JOIN spec s ON p.table_name = s.table_name, aod a
       """)
     ),
-    // IVF-style ANN: coarse KMeans centroids, probe the query's
-    // nearest cell, exact cosine within it — the 100 TB scale path
-    // where brute force is off the table. Rows-only (seeded KMeans).
+    // IVF-style ANN with multi-probe: coarse KMeans centroids, rank
+    // cells by query-to-centroid cosine, probe the nprobe nearest,
+    // exact cosine within them — the 100 TB scale path where brute
+    // force is off the table (probing >1 cell recovers the neighbors
+    // a hard cell boundary would drop). The query vector and the 8
+    // centroids are driver-sized by construction; the corpus scan is
+    // pruned to the probed cells. Rows-only (seeded KMeans).
     QueryDef(
       "q_ann_ivf_topk",
       (s, dir) => {
+        val nprobe = 2
         val e = T(s, dir).embeddings
         val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
         val withVec = e.withColumn("features", toVec(col("embedding")))
         val km      = new KMeans().setK(8).setSeed(42L).setMaxIter(10).setFeaturesCol("features").setPredictionCol("cell")
         val model   = km.fit(withVec.select("features").cache())
         val assigned = model.transform(withVec)
-        val queryCell = assigned.filter(col("vec_id") === 0)
-          .select(col("cell").as("qcell"), SimilarityOps.toDouble(col("embedding")).as("qvec"))
+        val qArr = withVec.filter(col("vec_id") === 0)
+          .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+        }
+        val probes = model.clusterCenters.map(_.toArray).zipWithIndex
+          .sortBy { case (c, _) => -cos(qArr, c) }.take(nprobe).map(_._2)
+        val qvecDf = assigned.filter(col("vec_id") === 0)
+          .select(SimilarityOps.toDouble(col("embedding")).as("qvec"))
         assigned
-          .filter(col("vec_id") =!= 0)
-          .join(broadcast(queryCell), col("cell") === col("qcell"))
+          .filter(col("vec_id") =!= 0 && col("cell").isin(probes.map(Int.box): _*))
+          .crossJoin(broadcast(qvecDf))
           .select(col("vec_id"),
             r4(cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec"))).as("cosine_sim"))
           .orderBy(col("cosine_sim").desc, col("vec_id").asc)
