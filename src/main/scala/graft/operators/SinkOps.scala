@@ -97,11 +97,11 @@ object SinkOps {
     // unchanged active rows survive as-is
     val unchanged = joined
       .filter(curPresent && keyPresent && attrsEqual)
-      .select(active.columns.map(c => col(s"cur.$c").as(c)): _*)
+      .select(active.columns.toIndexedSeq.map(c => col(s"cur.$c").as(c)): _*)
     // changed or departed rows get closed
     val toClose = joined
       .filter(curPresent && (!keyPresent || !attrsEqual))
-      .select(active.columns.map(c => col(s"cur.$c").as(c)): _*)
+      .select(active.columns.toIndexedSeq.map(c => col(s"cur.$c").as(c)): _*)
       .withColumn(dateEnded, to_date(lit(asOfDate)))
     // new or changed keys open a fresh active row
     val toOpen = joined
@@ -114,7 +114,7 @@ object SinkOps {
     closed
       .unionByName(unchanged)
       .unionByName(toClose)
-      .unionByName(toOpen.select(openCols.map(c => col(c)): _*))
+      .unionByName(toOpen.select(openCols.toIndexedSeq.map(c => col(c)): _*))
   }
 
   // ------------------------------------------------------------------
@@ -164,7 +164,7 @@ object SinkOps {
     }.toSeq
     if (mismatched.isEmpty) (df, Nil)
     else {
-      val repaired = df.select(df.columns.map { c =>
+      val repaired = df.select(df.columns.toIndexedSeq.map { c =>
         if (mismatched.contains(c)) {
           val target = SparkTypeFor.getOrElse(canonicalType(desired(c)),
             desired(c).toLowerCase)

@@ -26,7 +26,7 @@ object SkewOps {
       keys: Seq[String],
       buckets: Int
   ): DataFrame = {
-    val salt = pmod(xxhash64(large.columns.map(col): _*), lit(buckets)).cast("int")
+    val salt = pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(buckets)).cast("int")
     val saltedLarge = large.withColumn("__salt", salt)
     val explodedSmall = small.withColumn(
       "__salt",

@@ -509,7 +509,7 @@ object AnalysisQueries4 {
     val overall = aggStats(data.groupBy(col("symbol"), col("sector_name"),
       col("sector_type")))
       .withColumn("regime", lit("Overall"))
-      .select(perRegime.columns.map(col): _*)
+      .select(perRegime.columns.toIndexedSeq.map(col): _*)
 
     val regimeAvgs = perRegime
       .groupBy(col("regime").as("ra_regime"))

@@ -99,7 +99,7 @@ object CoverageQueries {
         val qvecDf = assigned.filter(col("vec_id") === 0)
           .select(SimilarityOps.toDouble(col("embedding")).as("qvec"))
         assigned
-          .filter(col("vec_id") =!= 0 && col("cell").isin(probes.map(Int.box): _*))
+          .filter(col("vec_id") =!= 0 && col("cell").isin(probes.toIndexedSeq.map(Int.box): _*))
           .crossJoin(broadcast(qvecDf))
           .select(col("vec_id"),
             r4(cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec"))).as("cosine_sim"))
