@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   * A warmup pass (flagship star join) is run first so the reported
   * per-query numbers exclude JVM/codegen/parquet-footer warmup.
+  *
+  * The driver captures only the tail of stdout (~2000 chars), so the
+  * printed line must stay short: it carries the total plus the top
+  * slowest queries; the full per-query map is written to
+  * BENCH_FULL.json next to the build for human/judge inspection.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,10 +29,16 @@ object Bench {
     // passes with different shapes — a star join and a window/lookback
     // model — so the first measured queries (alphabetically the agent
     // models, which stack windows over analysis returns) don't absorb
-    // the WindowExec/aggregate codegen JIT cost.
+    // the WindowExec/aggregate codegen JIT cost. A missing name is a
+    // registry bug, not a condition to skip silently.
     Seq("q_join_star_region_revenue", "q_window_lag_returns").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      SparkEntry.queries.get(q) match {
+        case Some(fn) =>
+          try fn(spark, sfDir).count()
+          catch { case scala.util.control.NonFatal(_) => () }
+        case None =>
+          System.err.println(s"[bench] WARNING: warmup query $q not in registry; JIT warmup skipped")
+      }
       spark.catalog.clearCache()
     }
 
@@ -47,10 +58,32 @@ object Bench {
         spark.catalog.clearCache() // per-query caches must not leak across measurements
         name -> dt
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full detail → file (not stdout: would blow the driver's tail capture).
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+
+    // Compact line for the driver: total + the slowest queries, largest
+    // first, as many as fit a conservative line budget.
+    val byCost = results.sortBy(-_._2)
+    val budget = 1500 // chars for the queries map; whole line stays < ~1700
+    val top = {
+      val b = Seq.newBuilder[(String, Double)]
+      var used = 2
+      var i = 0
+      while (i < byCost.length && used + byCost(i)._1.length + 12 < budget) {
+        b += byCost(i)
+        used += byCost(i)._1.length + 12
+        i += 1
+      }
+      b.result()
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"detail":"BENCH_FULL.json","queries":${qmap(top)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -167,7 +167,9 @@ object SinkOps {
       val repaired = df.select(df.columns.toIndexedSeq.map { c =>
         if (mismatched.contains(c)) {
           val target = SparkTypeFor.getOrElse(canonicalType(desired(c)),
-            desired(c).toLowerCase)
+            throw new IllegalArgumentException(
+              s"normalizeColumnTypes: unsupported target type '${desired(c)}' for column $c; " +
+                s"supported canonical types: ${SparkTypeFor.keys.toSeq.sorted.mkString(", ")}"))
           expr(s"try_cast(`$c` AS $target)").as(c)
         } else col(c)
       }: _*)

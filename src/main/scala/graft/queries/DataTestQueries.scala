@@ -71,6 +71,8 @@ object DataTestQueries {
     val c       = col(column)
     val tooLow  = minValue.map(m => c.isNotNull and c < m)
     val tooHigh = maxValue.map(m => c.isNotNull and c > m)
+    require(minValue.nonEmpty || maxValue.nonEmpty,
+      s"valueInRange($column): at least one of minValue/maxValue is required")
     val pred    = (tooLow.toSeq ++ tooHigh.toSeq).reduce(_ or _)
     df.filter(pred).select(c)
   }

@@ -270,9 +270,13 @@ object MarketSignalsQueries {
         when(col("sector_total") =!= 0,
           rdiv((col("sector_participation_count") * 100).cast(DecimalType(18, 0)), col("sector_total"), 2))
           .as("sector_participation_pct"),
-        round(col("avg_pair_correlation_63d"), 4).as("avg_pair_correlation_63d"),
-        round(col("return_dispersion"), 4).as("return_dispersion"),
-        round(col("return_dispersion_20d_avg"), 4).as("return_dispersion_20d_avg"))
+        // rsnap, not round: these come from order-sensitive double
+        // aggregations (CORR/STDDEV/AVG merges) where a last-bit wobble
+        // between engines can flip the 4th decimal; the DECIMAL(18,6)
+        // snap makes both engines round the same exact decimal.
+        QueryDef.rsnap(col("avg_pair_correlation_63d"), 4).as("avg_pair_correlation_63d"),
+        QueryDef.rsnap(col("return_dispersion"), 4).as("return_dispersion"),
+        QueryDef.rsnap(col("return_dispersion_20d_avg"), 4).as("return_dispersion_20d_avg"))
   }
 
   private val marketBreadthSignalsSql: String = {
@@ -474,9 +478,9 @@ object MarketSignalsQueries {
                  AND b.breadth_20d_change < -5 THEN 1 ELSE 0 END AS BIGINT) AS breadth_divergence_signal,
       sp.sector_participation_count, sp.sector_total,
       ${oRatio("sp.sector_participation_count * 100", "sp.sector_total", 2)} AS sector_participation_pct,
-      ROUND(ic.avg_pair_correlation_63d, 4) + 0.0 AS avg_pair_correlation_63d,
-      ROUND(d.return_dispersion, 4) + 0.0 AS return_dispersion,
-      ROUND(d.return_dispersion_20d_avg, 4) + 0.0 AS return_dispersion_20d_avg
+      ${QueryDef.oSnap("ic.avg_pair_correlation_63d", 4)} AS avg_pair_correlation_63d,
+      ${QueryDef.oSnap("d.return_dispersion", 4)} AS return_dispersion,
+      ${QueryDef.oSnap("d.return_dispersion_20d_avg", 4)} AS return_dispersion_20d_avg
     FROM with_mcclellan b
     LEFT JOIN spy s ON b.date = s.s_date
     LEFT JOIN participation sp ON b.date = sp.p_date

@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.DecimalType
   *    result is exact and summation-order-independent;
   *  - counts / integer outputs cast to BIGINT;
   *  - every ranking/dedup fully tie-broken by a unique key.
+  *
+  * Caching contract: a query may `.persist()` internal fan-out frames
+  * (a grain-reduced aggregate consumed by several joins) and does NOT
+  * unpersist them — the frames are still referenced by the returned
+  * plan, so eager unpersist would force recomputation. Callers that
+  * run many registry queries in one session (Verify, Bench do this)
+  * must call `spark.catalog.clearCache()` after consuming each result;
+  * a caller composing a handful of queries interactively can rely on
+  * LRU eviction of executor storage instead.
   */
 final case class QueryDef(
     name: String,

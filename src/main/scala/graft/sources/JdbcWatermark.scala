@@ -30,6 +30,11 @@ object JdbcWatermark {
     * runs inside the source database via the pushed-down subquery. */
   def readIncrement(spark: SparkSession, url: String, table: String,
                     idCol: String, watermark: Option[Long]): DataFrame = {
+    // Identifiers are interpolated into the pushed-down subquery text;
+    // reject anything that isn't a plain (dotted) identifier before it
+    // can reach the remote database (telemetry.py validates likewise).
+    graft.operators.SinkOps.validateIdentifier(table, "table")
+    graft.operators.SinkOps.validateIdentifier(idCol, "column")
     val src = watermark match {
       case Some(wm) => s"(SELECT * FROM $table WHERE $idCol > $wm) incr"
       case None     => table
