@@ -202,6 +202,58 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** n-gram Jaccard near-duplicate pairs WITHOUT MinHash: an inverted
+    * shingle index capped by document frequency generates candidates,
+    * then exact Jaccard on the full shingle sets verifies. Docs become
+    * a candidate pair iff they share at least one discriminative
+    * shingle (2 <= df <= maxDf). Dropping hot shingles (df > maxDf) is
+    * the standard set-similarity-join scale device: boilerplate
+    * n-grams would otherwise fan out O(df²) candidate pairs, while a
+    * truly near-duplicate pair shares many shingles and is extremely
+    * unlikely to overlap ONLY on corpus-frequent ones — bounded recall
+    * loss for a hard cap on join blowup. Shuffles: one by shingle for
+    * the df counts + candidate join (each key bounded by maxDf rows),
+    * one by id for the verify re-join; the wide shingle arrays never
+    * ride through the candidate shuffle (ids only).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      maxDf: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    // Short docs (< n tokens) cannot form an n-gram: excluded, rather
+    // than shingleTable's whole-doc fallback, so the semantics are
+    // plain "n-gram Jaccard" (and match the SQL oracle's len >= n).
+    val shingled = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= shingleN)
+      .select(col(idCol), array_distinct(shinglesFromTokens(col("__t"), shingleN)).as("__sh"))
+      .cache()
+    val ex = shingled.select(col(idCol).as("doc_id"), explode(col("__sh")).as("g"))
+    val discriminative = ex
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("g_df"))
+      .filter(col("g_df") >= 2 && col("g_df") <= maxDf)
+      .select(col("g"))
+    val kept = ex.join(discriminative, Seq("g"))
+    val candidates = kept
+      .select(col("g"), col("doc_id").as("id_a"))
+      .join(kept.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val shA = shingled.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val shB = shingled.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** 16-bit SimHash from md5 hex-digit high bits: bit j of token t is
     * 1 iff hex digit j of md5(t) is in [8, f]. Engine-portable (pure
     * string ops); production variant swaps in a 64-bit integer hash.

@@ -26,7 +26,7 @@ object Registry {
       SemanticLayerQueries.defs ++ MarketSignalsQueries.defs ++
       StagingMarketQueries.defs ++ FomcStagingQueries.defs ++
       DataTestQueries.defs ++ DocumentExtractionQueries.defs ++
-      DataDictionaryQueries.defs
+      DataDictionaryQueries.defs ++ StreamingQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.streaming.StreamingIngest
+
+/** Oracle-checked Structured Streaming queries (SURVEY.md §2.N).
+  *
+  * Each runs a real streaming query — file source, AvailableNow
+  * trigger, memory sink — to completion and returns the final table.
+  * Because the inputs are static parquet, the streaming result is
+  * batch-equivalent and a plain SQL oracle can check it exactly: the
+  * same property the reference relies on for its rerun-idempotent
+  * batch ingest, demonstrated here with the streaming runtime
+  * (micro-batch planner, state store, watermarks) actually engaged.
+  *
+  * The memory sink collects to the driver — correct only because
+  * every query below emits a small GROUPED result (bounded by key
+  * cardinality, not input size). Production streams write through
+  * [[graft.streaming.StreamingIngest.mergeIngest]] to a keyed lake
+  * table instead.
+  */
+object StreamingQueries {
+
+  /** Run `out` to completion via AvailableNow into a memory sink and
+    * return the result table. Fresh checkpoint per call → the stream
+    * re-reads from scratch, so repeated calls (Bench) re-execute. */
+  private def runToTable(name: String, out: DataFrame, mode: String): DataFrame = {
+    val spark = out.sparkSession
+    spark.catalog.dropTempView(name) // stale result from a prior call, if any
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** File-source stream over ONE parquet file. A literal non-glob
+    * path must be a directory for the file stream source, so select
+    * the single file with a one-alternative brace glob — glob paths
+    * are matched against files directly. */
+  private def stream(s: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    s.readStream
+      .schema(s.read.parquet(path).schema)
+      .parquet(s"$dir/{$table}.parquet")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Streaming grouped totals (complete mode): the unbounded-agg
+    // shape with exact decimal sums, run through the micro-batch
+    // planner end-to-end.
+    QueryDef(
+      "q_stream_agg_totals",
+      (s, dir) => {
+        val agg = stream(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(DecimalType(18, 0))).cast("long").as("sum_qty"),
+            QueryDef.dsum(col("l_extendedprice")).as("sum_price"))
+        runToTable("stream_agg_totals", agg, "complete")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY 1, 2
+      """)
+    ),
+    // Watermarked tumbling-window aggregation over event time (epoch
+    // -aligned 7-day windows on the order date). Complete mode so the
+    // final state — equal to the batch answer — is what lands in the
+    // sink; the watermark path is exercised by the planner regardless.
+    QueryDef(
+      "q_stream_weekly_orders",
+      (s, dir) => {
+        val src = stream(s, dir, "orders")
+          .select(col("o_orderdate").cast("timestamp").as("ts"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .withWatermark("ts", "30 days")
+        val agg = src
+          .groupBy(window(col("ts"), "7 days"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            QueryDef.dsum(col("o_totalprice")).as("sum_price"))
+          .select(col("window.start").cast("date").as("week_start"),
+            col("o_orderpriority"), col("n_orders"), col("sum_price"))
+        runToTable("stream_weekly_orders", agg, "complete")
+      },
+      Some("""
+        SELECT DATE '1970-01-01' + CAST(FLOOR(date_diff('day', DATE '1970-01-01', o_orderdate) / 7.0) * 7 AS INTEGER)
+            AS week_start,
+          o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1, 2
+      """)
+    ),
+    // Custom keyed state via flatMapGroupsWithState: running per-key
+    // totals maintained in the state store. AvailableNow with no
+    // maxFilesPerTrigger processes the (single-file) source in one
+    // micro-batch, so exactly one updated row per key is emitted and
+    // the result equals the batch aggregate. Totals sum integral
+    // quantities, so the double arithmetic is exact.
+    QueryDef(
+      "q_stream_stateful_totals",
+      (s, dir) => {
+        val totals = StreamingIngest
+          .statefulRunningTotals(stream(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+          .toDF("k", "n", "total")
+        runToTable("stream_stateful_totals", totals, "append")
+      },
+      Some("""
+        SELECT CAST(l_returnflag AS VARCHAR) AS k, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total
+        FROM lineitem GROUP BY 1
+      """)
+    )
+  )
+}

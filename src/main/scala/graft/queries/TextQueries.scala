@@ -271,6 +271,39 @@ object TextQueries {
               / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) >= 0.2
       """)
     ),
+    // n-gram Jaccard near-dup via df-capped inverted shingle index
+    // (the no-MinHash set-similarity join; stop-shingles dropped)
+    QueryDef(
+      "q_ngram_jaccard_pairs",
+      (s, dir) =>
+        DedupOps
+          .ngramJaccardPairs(T(s, dir).documents, "doc_id", "text",
+            shingleN = 3, maxDf = 50, minJaccard = 0.2)
+          .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard")),
+      Some(s"""
+        WITH $tokSql,
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3
+        ),
+        ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+        disc AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 50),
+        kept AS (SELECT e.doc_id, e.g FROM ex e JOIN disc d ON e.g = d.g),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+          ROUND(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+                / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4)
+            AS jaccard
+        FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+        WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.2
+      """)
+    ),
     // 16-bit SimHash from md5 hex-digit high bits
     QueryDef(
       "q_simhash_docs",
