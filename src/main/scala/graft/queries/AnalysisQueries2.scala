@@ -677,20 +677,34 @@ object AnalysisQueries2 {
   // ------------------------------------------------------------------
 
   /** PIT variant of leadingEcon (ref leading_econ_return_indicator_
-    * snapshot.sql): bha fanned over a month-start spine with
-    * date <= snapshot_date (prefix windows — no 5y floor), correlation
-    * branch only, LAG keyed by (snapshot_date, symbol, series_name).
-    * Two reference quirks replicated: `return_difference` repeats
-    * avg_q1_return_econ_down (ref :124 — copy-paste twin of the base
-    * model's up-minus-down), and there is no quintile branch. The
-    * spine cutoff maps the reference's data-availability knob into the
-    * synthetic range (bha is computed once; each snapshot is an
-    * independent aggregation partition on top of it).
+    * snapshot.sql): correlation branch over the rows with
+    * date <= snapshot_date per month-start snapshot, LAG keyed by
+    * (snapshot_date, symbol, series_name). Two reference quirks
+    * replicated: `return_difference` repeats avg_q1_return_econ_down
+    * (ref :124 — copy-paste twin of the base model's up-minus-down),
+    * and there is no quintile branch.
+    *
+    * Scale design — prefix aggregates as running moments, NOT a spine
+    * fan-out. The naive plan (bha × spine with date <= snapshot_date,
+    * re-aggregating each prefix) is O(rows × snapshots): at 100× the
+    * history that is 100× rows times ~100× snapshots. But every
+    * aggregate here is a prefix aggregate over the SAME date order —
+    * a row's LAG inside any snapshot prefix equals its global LAG —
+    * so COUNT/CORR/conditional sums all derive from cumulative sums
+    * computed ONCE per row (CORR from its co-moment sums n, Σx, Σy,
+    * Σxy, Σx², Σy²), and each snapshot just picks the last row at or
+    * before it (a [date, next_date) interval join against the tiny
+    * month spine). One window pass, O(rows), no fan-out.
+    *
+    * Parity: the moment sums accumulate DECIMAL(18,6)-cast values —
+    * exact, order-independent, identical in DuckDB — and the final
+    * correlation is the same double formula over those exact sums on
+    * both sides, snapped before round(4).
     */
   private val LeadingEconSnapCutoff = "1998-07-01"
 
   private def leadingEconSnapshot(s: SparkSession, dir: String): DataFrame = {
-    // referenced twice (spine derivation + snapshot join) — persist so
+    // referenced twice (spine derivation + moments frame) — persist so
     // the base_historical pipeline runs once. Projected to the consumed
     // columns FIRST: the cache would otherwise force the RANGE-window
     // family (high/low/std_diff_1yr), which this model never reads —
@@ -703,52 +717,80 @@ object AnalysisQueries2 {
       .filter(col("date") >= to_date(lit(LeadingEconSnapCutoff)))
       .select(trunc(col("date"), "month").as("snapshot_date"))
       .distinct()
-    val snapBha = bhaDf
+    val wSer = Window.partitionBy(col("symbol"), col("series_name")).orderBy(col("date"))
+    val ec = bhaDf
       .filter(col("value").isNotNull && col("series_name").isNotNull)
       .withColumn("economic_category",
         FredCodes.foldLeft(lit(null).cast("string")) { (acc, c) =>
           when(col("series_name") === s"Series $c", lit(category(c))).otherwise(acc)
         })
       .filter(col("economic_category").isNotNull)
-      .join(broadcast(spine), col("date") <= col("snapshot_date"))
-    val wSer = Window.partitionBy(col("snapshot_date"), col("symbol"), col("series_name"))
-      .orderBy(col("date"))
-    val ec = snapBha.select(
-        col("snapshot_date"), col("symbol"), col("date"), col("series_name"), col("category"),
+      .select(
+        col("symbol"), col("date"), col("series_name"), col("category"),
         col("economic_category"), col("value"),
-        col("pct_change_3mo").as("pct_change_q1"),
-        col("pct_change_6mo").as("pct_change_q2"),
-        col("pct_change_9mo").as("pct_change_q3"),
+        col("pct_change_3mo").as("q1"),
+        col("pct_change_6mo").as("q2"),
+        col("pct_change_9mo").as("q3"),
         lag(col("value"), 1).over(wSer).as("prev_econ_value"))
-      .withColumn("econ_mom_change_pct",
+      .withColumn("mom",
         when(col("prev_econ_value").isNotNull && col("prev_econ_value") =!= 0,
           (col("value") - col("prev_econ_value")) / col("prev_econ_value") * 100))
-      .filter(col("econ_mom_change_pct").isNotNull)
-    def condSum(cond: Column, v: Column): Column =
-      sum(when(cond, v).cast(DecimalType(18, 6)))
-    val agg = ec
-      .groupBy(col("snapshot_date"), col("symbol"), col("series_name"), col("category"),
-        col("economic_category"))
-      .agg(
-        count(lit(1)).as("observation_count"),
-        corr(col("econ_mom_change_pct"), col("pct_change_q1")).as("c_q1"),
-        corr(col("econ_mom_change_pct"), col("pct_change_q2")).as("c_q2"),
-        corr(col("econ_mom_change_pct"), col("pct_change_q3")).as("c_q3"),
-        condSum(col("econ_mom_change_pct") > 0, col("pct_change_q1")).as("up_q1_sum"),
-        count(when(col("econ_mom_change_pct") > 0, col("pct_change_q1"))).as("up_q1_n"),
-        condSum(col("econ_mom_change_pct") < 0, col("pct_change_q1")).as("dn_q1_sum"),
-        count(when(col("econ_mom_change_pct") < 0, col("pct_change_q1"))).as("dn_q1_n"))
+      .filter(col("mom").isNotNull)
+
+    // Cumulative co-moment sums per (symbol, series), date-ordered.
+    // x (mom) and y (returns) go through DECIMAL(18,6) so the running
+    // sums are exact; products carry scale 12, still exact.
+    val wCum = wSer.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xd = col("mom").cast(DecimalType(18, 6))
+    def yd(k: String) = col(k).cast(DecimalType(18, 6))
+    def moments(k: String): Seq[Column] = Seq(
+      count(col(k)).over(wCum).as(s"n_$k"),
+      sum(when(col(k).isNotNull, xd)).over(wCum).as(s"sx_$k"),
+      sum(yd(k)).over(wCum).as(s"sy_$k"),
+      sum(when(col(k).isNotNull, xd * yd(k))).over(wCum).as(s"sxy_$k"),
+      sum(when(col(k).isNotNull, xd * xd)).over(wCum).as(s"sxx_$k"),
+      sum(yd(k) * yd(k)).over(wCum).as(s"syy_$k"))
+    val cum = ec.select(
+      Seq(col("symbol"), col("series_name"), col("category"), col("economic_category"),
+        col("date"),
+        lead(col("date"), 1).over(wSer).as("next_date"),
+        count(lit(1)).over(wCum).as("observation_count"),
+        sum(when(col("mom") > 0, yd("q1"))).over(wCum).as("up_q1_sum"),
+        count(when(col("mom") > 0, col("q1"))).over(wCum).as("up_q1_n"),
+        sum(when(col("mom") < 0, yd("q1"))).over(wCum).as("dn_q1_sum"),
+        count(when(col("mom") < 0, col("q1"))).over(wCum).as("dn_q1_n")) ++
+        Seq("q1", "q2", "q3").flatMap(moments): _*)
+
+    // Each snapshot reads the last row at or before it: a [date,
+    // next_date) interval join against the broadcast month spine.
+    val snap = cum.join(broadcast(spine),
+      col("snapshot_date") >= col("date") &&
+        (col("next_date").isNull || col("snapshot_date") < col("next_date")))
       .filter(col("observation_count") >= 10)
+
+    // corr from exact moments, same double formula as the oracle
+    def corrOf(k: String): Column = {
+      val n   = col(s"n_$k").cast("double")
+      val sx  = col(s"sx_$k").cast("double")
+      val sy  = col(s"sy_$k").cast("double")
+      val sxy = col(s"sxy_$k").cast("double")
+      val sxx = col(s"sxx_$k").cast("double")
+      val syy = col(s"syy_$k").cast("double")
+      val vx  = n * sxx - sx * sx
+      val vy  = n * syy - sy * sy
+      rsnap(when(col(s"n_$k") >= 2 && vx > 0 && vy > 0,
+        (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
+    }
     def avgOf(sumC: String, nC: String): Column =
       when(col(nC) > 0, rdiv(col(sumC), col(nC), 2))
-    agg.select(
+    snap.select(
       col("snapshot_date"),
       lit("Correlation Analysis").as("analysis_type"),
       col("symbol"), col("series_name"), col("category"), col("economic_category"),
       col("observation_count"),
-      round(col("c_q1"), 4).as("correlation_econ_vs_q1_returns"),
-      round(col("c_q2"), 4).as("correlation_econ_vs_q2_returns"),
-      round(col("c_q3"), 4).as("correlation_econ_vs_q3_returns"),
+      corrOf("q1").as("correlation_econ_vs_q1_returns"),
+      corrOf("q2").as("correlation_econ_vs_q2_returns"),
+      corrOf("q3").as("correlation_econ_vs_q3_returns"),
       avgOf("up_q1_sum", "up_q1_n").as("avg_q1_return_econ_up"),
       avgOf("dn_q1_sum", "dn_q1_n").as("avg_q1_return_econ_down"),
       avgOf("dn_q1_sum", "dn_q1_n").as("return_difference"))
@@ -759,6 +801,29 @@ object AnalysisQueries2 {
       .map(c => s"WHEN 'Series $c' THEN '${category(c)}'").mkString(" ")
     def oAvg(sumC: String, nC: String) =
       s"CASE WHEN $nC > 0 THEN ${oDivRound(s"CAST($sumC * 1000000 AS HUGEINT)", nC, 2)} END"
+    // Prefix aggregates as cumulative co-moment sums — the same O(rows)
+    // shape as the Spark side (see leadingEconSnapshot scaladoc), with
+    // identical DECIMAL(18,6) accumulation and the same double formula.
+    // Products use DECIMAL(19,6) operands: 19+19 = 38 total width keeps
+    // DuckDB inside INT128 multiplication (18+18 stays in the INT64
+    // path and overflows); values are identical, so exactness vs the
+    // Spark side's (18,6)x(18,6) -> (37,12) products is preserved.
+    val momentCols = Seq("q1", "q2", "q3").map { k =>
+      s"""COUNT($k) OVER wcum AS n_$k,
+        SUM(CASE WHEN $k IS NOT NULL THEN xd END) OVER wcum AS sx_$k,
+        SUM(CAST($k AS DECIMAL(18,6))) OVER wcum AS sy_$k,
+        SUM(CASE WHEN $k IS NOT NULL THEN xd * CAST($k AS DECIMAL(19,6)) END) OVER wcum AS sxy_$k,
+        SUM(CASE WHEN $k IS NOT NULL THEN xd * xd END) OVER wcum AS sxx_$k,
+        SUM(CAST($k AS DECIMAL(19,6)) * CAST($k AS DECIMAL(19,6))) OVER wcum AS syy_$k"""
+    }.mkString(",\n        ")
+    def oCorr(k: String) = oSnap(
+      s"""CASE WHEN n_$k >= 2
+          AND CAST(n_$k AS DOUBLE) * CAST(sxx_$k AS DOUBLE) - CAST(sx_$k AS DOUBLE) * CAST(sx_$k AS DOUBLE) > 0
+          AND CAST(n_$k AS DOUBLE) * CAST(syy_$k AS DOUBLE) - CAST(sy_$k AS DOUBLE) * CAST(sy_$k AS DOUBLE) > 0
+        THEN (CAST(n_$k AS DOUBLE) * CAST(sxy_$k AS DOUBLE) - CAST(sx_$k AS DOUBLE) * CAST(sy_$k AS DOUBLE))
+          / (SQRT(CAST(n_$k AS DOUBLE) * CAST(sxx_$k AS DOUBLE) - CAST(sx_$k AS DOUBLE) * CAST(sx_$k AS DOUBLE))
+             * SQRT(CAST(n_$k AS DOUBLE) * CAST(syy_$k AS DOUBLE) - CAST(sy_$k AS DOUBLE) * CAST(sy_$k AS DOUBLE)))
+        END""", 4)
     s"""
     WITH ${stgFredSql(FredCodes)},
     $baseHistoricalCtesSql,
@@ -766,51 +831,50 @@ object AnalysisQueries2 {
       SELECT DISTINCT CAST(DATE_TRUNC('month', date) AS DATE) AS snapshot_date
       FROM bha WHERE date >= DATE '$LeadingEconSnapCutoff'
     ),
-    snap_bha AS (
-      SELECT b.*, CASE b.series_name $serCatCase END AS economic_category, s.snapshot_date
-      FROM bha b CROSS JOIN spine s
-      WHERE b.date <= s.snapshot_date
-        AND b.value IS NOT NULL AND b.series_name IS NOT NULL
-        AND CASE b.series_name $serCatCase END IS NOT NULL
-    ),
     ec AS (
-      SELECT *,
-        CASE WHEN prev_econ_value IS NOT NULL AND prev_econ_value != 0
-          THEN (value - prev_econ_value) / prev_econ_value * 100 END AS econ_mom_change_pct
+      SELECT *, CAST(mom AS DECIMAL(19,6)) AS xd
       FROM (
-        SELECT snapshot_date, symbol, date, series_name, category, economic_category, value,
-          pct_change_3mo AS pct_change_q1,
-          pct_change_6mo AS pct_change_q2,
-          pct_change_9mo AS pct_change_q3,
-          LAG(value, 1) OVER (PARTITION BY snapshot_date, symbol, series_name ORDER BY date)
-            AS prev_econ_value
-        FROM snap_bha
-      )
+        SELECT *,
+          CASE WHEN prev_econ_value IS NOT NULL AND prev_econ_value != 0
+            THEN (value - prev_econ_value) / prev_econ_value * 100 END AS mom
+        FROM (
+          SELECT symbol, date, series_name, category,
+            CASE series_name $serCatCase END AS economic_category, value,
+            pct_change_3mo AS q1, pct_change_6mo AS q2, pct_change_9mo AS q3,
+            LAG(value, 1) OVER (PARTITION BY symbol, series_name ORDER BY date)
+              AS prev_econ_value
+          FROM bha
+          WHERE value IS NOT NULL AND series_name IS NOT NULL
+            AND CASE series_name $serCatCase END IS NOT NULL
+        )
+      ) WHERE mom IS NOT NULL
     ),
-    agg AS (
-      SELECT snapshot_date, symbol, series_name, category, economic_category,
-        COUNT(*) AS observation_count,
-        CORR(econ_mom_change_pct, pct_change_q1) AS c_q1,
-        CORR(econ_mom_change_pct, pct_change_q2) AS c_q2,
-        CORR(econ_mom_change_pct, pct_change_q3) AS c_q3,
-        SUM(CASE WHEN econ_mom_change_pct > 0 THEN CAST(pct_change_q1 AS DECIMAL(18,6)) END) AS up_q1_sum,
-        COUNT(CASE WHEN econ_mom_change_pct > 0 THEN pct_change_q1 END) AS up_q1_n,
-        SUM(CASE WHEN econ_mom_change_pct < 0 THEN CAST(pct_change_q1 AS DECIMAL(18,6)) END) AS dn_q1_sum,
-        COUNT(CASE WHEN econ_mom_change_pct < 0 THEN pct_change_q1 END) AS dn_q1_n
+    cum AS (
+      SELECT symbol, series_name, category, economic_category, date,
+        LEAD(date, 1) OVER (PARTITION BY symbol, series_name ORDER BY date) AS next_date,
+        COUNT(*) OVER wcum AS observation_count,
+        SUM(CASE WHEN mom > 0 THEN CAST(q1 AS DECIMAL(18,6)) END) OVER wcum AS up_q1_sum,
+        COUNT(CASE WHEN mom > 0 THEN q1 END) OVER wcum AS up_q1_n,
+        SUM(CASE WHEN mom < 0 THEN CAST(q1 AS DECIMAL(18,6)) END) OVER wcum AS dn_q1_sum,
+        COUNT(CASE WHEN mom < 0 THEN q1 END) OVER wcum AS dn_q1_n,
+        $momentCols
       FROM ec
-      WHERE econ_mom_change_pct IS NOT NULL
-      GROUP BY 1, 2, 3, 4, 5
+      WINDOW wcum AS (PARTITION BY symbol, series_name ORDER BY date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    SELECT snapshot_date, 'Correlation Analysis' AS analysis_type,
-      symbol, series_name, category, economic_category, observation_count,
-      ROUND(c_q1, 4) + 0.0 AS correlation_econ_vs_q1_returns,
-      ROUND(c_q2, 4) + 0.0 AS correlation_econ_vs_q2_returns,
-      ROUND(c_q3, 4) + 0.0 AS correlation_econ_vs_q3_returns,
+    SELECT s.snapshot_date, 'Correlation Analysis' AS analysis_type,
+      c.symbol, c.series_name, c.category, c.economic_category,
+      CAST(c.observation_count AS BIGINT) AS observation_count,
+      ${oCorr("q1")} AS correlation_econ_vs_q1_returns,
+      ${oCorr("q2")} AS correlation_econ_vs_q2_returns,
+      ${oCorr("q3")} AS correlation_econ_vs_q3_returns,
       ${oAvg("up_q1_sum", "up_q1_n")} AS avg_q1_return_econ_up,
       ${oAvg("dn_q1_sum", "dn_q1_n")} AS avg_q1_return_econ_down,
       ${oAvg("dn_q1_sum", "dn_q1_n")} AS return_difference
-    FROM agg
-    WHERE observation_count >= 10
+    FROM cum c JOIN spine s
+      ON s.snapshot_date >= c.date
+      AND (c.next_date IS NULL OR s.snapshot_date < c.next_date)
+    WHERE c.observation_count >= 10
   """
   }
 
