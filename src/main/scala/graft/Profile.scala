@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup
+    try SparkEntry.queries("q_join_star_region_revenue")(spark, sfDir).count() catch { case _: Throwable => () }
+    try SparkEntry.queries("q_window_lag_returns")(spark, sfDir).count() catch { case _: Throwable => () }
+    spark.catalog.clearCache()
+    names.foreach { n =>
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"PROFILE $n run$i ${(System.nanoTime()-t0)/1e9}%.2f s rows=$c")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -20,6 +20,25 @@ object SimilarityOps {
     * identical to a double-precision oracle). */
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
+  /** Cosine similarity, preferring the native codegen expression when
+    * [[graft.GraftExtensions]] is installed in the session (fused
+    * single-pass loop over the raw float array — no per-row array
+    * allocation, stays inside whole-stage codegen). Falls back to the
+    * composable zip_with/aggregate form otherwise. Both paths widen
+    * float→double per element and accumulate in array order, so the
+    * results are bit-identical — oracle hashes cannot depend on which
+    * path ran. */
+  def cosine(df: DataFrame, vec: Column, qvec: Column): Column =
+    if (df.sparkSession.catalog.functionExists("vec_cosine"))
+      call_function("vec_cosine", vec, qvec)
+    else cosineSimilarity(toDouble(vec), qvec)
+
+  /** Dot product with the same dispatch as [[cosine]]. */
+  def dot(df: DataFrame, a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("vec_dot"))
+      call_function("vec_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
   /** Exact brute-force top-k by cosine similarity against one query
     * vector (broadcast single-row cross join — no shuffle of the big
     * side). Ties broken by id ascending for determinism. */
@@ -34,7 +53,7 @@ object SimilarityOps {
       .crossJoin(broadcast(query))
       .select(
         col(idCol),
-        cosineSimilarity(toDouble(col(vecCol)), col("qvec")).as("cosine_sim")
+        cosine(corpus, col(vecCol), col("qvec")).as("cosine_sim")
       )
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
@@ -85,7 +104,7 @@ object SimilarityOps {
       .join(broadcast(q), Seq("__bucket"))
       .select(
         col(idCol),
-        cosineSimilarity(toDouble(col(vecCol)), col("qvec")).as("cosine_sim")
+        cosine(corpus, col(vecCol), col("qvec")).as("cosine_sim")
       )
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
@@ -108,15 +127,15 @@ object SimilarityOps {
       .select(col(idCol).as("id"), col(vecCol).as("__raw"))
       .withColumn("__bucket", srpBucket(col("__raw"), planes))
       .withColumn("v", toDouble(col("__raw")))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x)))
+      .withColumn("norm", sqrt(dot(corpus, col("v"), col("v"))))
       .drop("__raw")
     val a = bucketed.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = bucketed.select(col("__bucket"), col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val pairDot = dot(corpus, col("va"), col("vb"))
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        when(col("na") * col("nb") =!= 0.0, dot / (col("na") * col("nb"))).as("cosine_sim"))
+        when(col("na") * col("nb") =!= 0.0, pairDot / (col("na") * col("nb"))).as("cosine_sim"))
       .filter(col("cosine_sim") >= minSim)
       .distinct()
   }

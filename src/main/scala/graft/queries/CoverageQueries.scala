@@ -102,7 +102,7 @@ object CoverageQueries {
           .filter(col("vec_id") =!= 0 && col("cell").isin(probes.toIndexedSeq.map(Int.box): _*))
           .crossJoin(broadcast(qvecDf))
           .select(col("vec_id"),
-            r4(cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec"))).as("cosine_sim"))
+            r4(SimilarityOps.cosine(assigned, col("embedding"), col("qvec"))).as("cosine_sim"))
           .orderBy(col("cosine_sim").desc, col("vec_id").asc)
           .limit(10)
       },

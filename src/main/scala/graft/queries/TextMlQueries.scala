@@ -91,7 +91,7 @@ object TextMlQueries {
           .select(
             col("doc_id"),
             kwScore.cast("long").as("keyword_score"),
-            cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec")).as("cos_raw")
+            SimilarityOps.cosine(e, col("embedding"), col("qvec")).as("cos_raw")
           )
           .select(
             col("doc_id"), col("keyword_score"),

@@ -392,7 +392,7 @@ object TextQueries {
       (s, dir) => {
         val e     = T(s, dir).embeddings
         val query = e.filter(col("vec_id") === 0).select(SimilarityOps.toDouble(col("embedding")).as("qvec"))
-        val sim = cosineSimilarity(SimilarityOps.toDouble(col("embedding")), col("qvec"))
+        val sim = SimilarityOps.cosine(e, col("embedding"), col("qvec"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(query))
           .select(col("vec_id"), r4(sim).as("cosine_sim"))
