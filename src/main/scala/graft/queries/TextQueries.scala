@@ -292,8 +292,15 @@ object TextQueries {
         disc AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 50),
         kept AS (SELECT e.doc_id, e.g FROM ex e JOIN disc d ON e.g = d.g),
         cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+          SELECT p.id_a, p.id_b
+          FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ) p
+          JOIN sh za ON p.id_a = za.doc_id
+          JOIN sh zb ON p.id_b = zb.doc_id
+          WHERE p.n_common >= 2 OR len(za.s) + len(zb.s) <= 6
         )
         SELECT id_a, id_b,
           ROUND(CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
