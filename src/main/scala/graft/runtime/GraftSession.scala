@@ -24,6 +24,10 @@ object GraftSession {
       // Exact ANSI-ish arithmetic disabled: reference (BigQuery) uses
       // SAFE_* everywhere; we map those explicitly via try_* functions.
       .config("spark.sql.ansi.enabled", "false")
+      // native vec_dot/vec_cosine expressions (SimilarityOps falls
+      // back to the composable form when absent, but library sessions
+      // should get the codegen path)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // keep catalog/warehouse artifacts out of the repo working dir
       .config(

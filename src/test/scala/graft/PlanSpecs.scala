@@ -107,4 +107,36 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "spine × partitions must broadcast, not shuffle the observed side twice")
   }
+
+  test("snapshot templates never window or persist the spine-amplified frame") {
+    // boundary picks are struct MIN/MAX inside the aggregation; a
+    // Window here would mean the ×snapshots frame is being sorted at
+    // full width again (the pre-round-4 row_number shape). The OHLC
+    // template has no window at all; the commodity template keeps
+    // exactly one (the global lag, gated separately below).
+    val ohlc = executedPlan("q_us_sector_summary_snapshot")
+    assert("Window ".r.findAllIn(ohlc).isEmpty,
+      "OHLC snapshot: no window over the spine-amplified frame")
+    for (q <- Seq("q_us_sector_summary_snapshot", "q_energy_commodities_summary_snapshot")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("InMemoryTableScan"),
+        s"$q: the amplified frame must not be persisted")
+      assert(plan.contains("partial"), s"$q: amplified rows must partial-aggregate map-side")
+    }
+  }
+
+  test("commodity snapshot's LAG runs over the raw staging, not the amplified frame") {
+    // exactly one window family (the global per-commodity lag) and it
+    // must sit BELOW the broadcast spine join in the plan text
+    val plan = executedPlan("q_energy_commodities_summary_snapshot")
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows <= 1, s"one global lag window expected, saw $windows")
+  }
+
+  test("ngram jaccard candidate join stays an equi hash join") {
+    val plan = executedPlan("q_ngram_jaccard_pairs")
+    assert(!plan.contains("CartesianProduct"), "shingle join degenerated to cross join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "shingle join degenerated to nested-loop join")
+  }
 }
