@@ -255,11 +255,16 @@ object MarketSignalsQueries {
           rdiv(col("total_advancing_volume").cast(DecimalType(18, 0)), col("total_declining_volume"), 3))
           .as("volume_ad_ratio"),
         col("net_advances"), col("rana").as("ratio_adjusted_net_advances"),
-        round(col("ema_rana_19"), 2).as("rana_ema_19"),
-        round(col("ema_rana_39"), 2).as("rana_ema_39"),
-        round(col("mcclellan_oscillator"), 2).as("mcclellan_oscillator"),
-        round(col("mcclellan_summation_index"), 2).as("mcclellan_summation_index"),
-        round(col("ema_adv_10"), 4).as("zweig_ema_10d"),
+        // rsnap, not round: the recursive-EMA folds are order-sensitive
+        // double recurrences — a last-bit wobble between engines flips
+        // the rounded digit on knife-edge values (the hash failure mode
+        // this query hit twice). Snap to DECIMAL(18,6) first so both
+        // engines round the same exact decimal.
+        rsnap(col("ema_rana_19"), 2).as("rana_ema_19"),
+        rsnap(col("ema_rana_39"), 2).as("rana_ema_39"),
+        rsnap(col("mcclellan_oscillator"), 2).as("mcclellan_oscillator"),
+        rsnap(col("mcclellan_summation_index"), 2).as("mcclellan_summation_index"),
+        rsnap(col("ema_adv_10"), 4).as("zweig_ema_10d"),
         col("zweig_thrust_signal"),
         col("spy_close"), col("spy_high_252d"),
         when(col("spy_close") >= col("spy_high_252d"), 1).otherwise(0).cast("long").as("spy_new_high"),
@@ -466,11 +471,11 @@ object MarketSignalsQueries {
       b.breadth_5d_change, b.breadth_20d_change,
       ${oRatio("b.total_advancing_volume", "b.total_declining_volume", 3)} AS volume_ad_ratio,
       b.net_advances, b.rana AS ratio_adjusted_net_advances,
-      ROUND(b.ema_rana_19, 2) + 0.0 AS rana_ema_19,
-      ROUND(b.ema_rana_39, 2) + 0.0 AS rana_ema_39,
-      ROUND(b.mcclellan_oscillator, 2) + 0.0 AS mcclellan_oscillator,
-      ROUND(b.mcclellan_summation_index, 2) + 0.0 AS mcclellan_summation_index,
-      ROUND(b.ema_adv_10, 4) + 0.0 AS zweig_ema_10d,
+      ${QueryDef.oSnap("b.ema_rana_19", 2)} AS rana_ema_19,
+      ${QueryDef.oSnap("b.ema_rana_39", 2)} AS rana_ema_39,
+      ${QueryDef.oSnap("b.mcclellan_oscillator", 2)} AS mcclellan_oscillator,
+      ${QueryDef.oSnap("b.mcclellan_summation_index", 2)} AS mcclellan_summation_index,
+      ${QueryDef.oSnap("b.ema_adv_10", 4)} AS zweig_ema_10d,
       CAST(b.zweig_thrust_signal AS BIGINT) AS zweig_thrust_signal,
       s.spy_close, s.spy_high_252d,
       CAST(CASE WHEN s.spy_close >= s.spy_high_252d THEN 1 ELSE 0 END AS BIGINT) AS spy_new_high,
