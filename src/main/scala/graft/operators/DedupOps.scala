@@ -216,8 +216,8 @@ object DedupOps {
     * bounded recall loss for a hard cap on join blowup. Shuffles: one
     * by shingle for the df counts + candidate join (each key bounded
     * by maxDf rows), one by id for the verify re-join; the wide
-    * shingle arrays never ride through the candidate shuffle (ids
-    * only).
+    * shingle arrays never ride through the candidate shuffle (ids and
+    * set sizes only).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -227,6 +227,10 @@ object DedupOps {
       maxDf: Int,
       minJaccard: Double
   ): DataFrame = {
+    // minJaccard = 0 would make smallBound (floor(1/minJ)+1) overflow
+    // AND accept every pair sharing any shingle — a threshold-less
+    // similarity join is a different (all-pairs) operator.
+    require(minJaccard > 0.0, s"minJaccard must be > 0, got $minJaccard")
     // Short docs (< n tokens) cannot form an n-gram: excluded, rather
     // than shingleTable's whole-doc fallback, so the semantics are
     // plain "n-gram Jaccard" (and match the SQL oracle's len >= n).
@@ -235,7 +239,13 @@ object DedupOps {
       .filter(size(col("__t")) >= shingleN)
       .select(col(idCol), array_distinct(shinglesFromTokens(col("__t"), shingleN)).as("__sh"))
       .cache()
-    val ex = shingled.select(col(idCol).as("doc_id"), explode(col("__sh")).as("g"))
+    // Shingle-set size rides along each exploded row (one extra int on
+    // the shuffle) so the c-filter needs no per-document sizes frame:
+    // a broadcast of one-row-per-doc would be unbounded at corpus
+    // scale (the 8GB broadcast limit / driver OOM), unlike the
+    // df-capped candidate join which is deliberately bounded.
+    val ex = shingled.select(
+      col(idCol).as("doc_id"), explode(col("__sh")).as("g"), size(col("__sh")).as("sz"))
     val discriminative = ex
       .groupBy(col("g"))
       .agg(count(lit(1)).as("g_df"))
@@ -249,15 +259,12 @@ object DedupOps {
     // shingles unless the docs are that small. Cuts the verify-join
     // input ~10x (measured sf0.1: 1.13M -> 112k pairs).
     val smallBound = math.floor(1.0 / minJaccard).toInt + 1
-    val sizes = shingled.select(col(idCol).as("sz_id"), size(col("__sh")).as("sz"))
     val candidates = kept
-      .select(col("g"), col("doc_id").as("id_a"))
-      .join(kept.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .select(col("g"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(kept.select(col("g"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes).withColumnRenamed("sz_id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(broadcast(sizes).withColumnRenamed("sz_id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .agg(count(lit(1)).as("n_common"), min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
       .filter(col("n_common") >= 2 || (col("sz_a") + col("sz_b")) <= smallBound)
       .select(col("id_a"), col("id_b"))
     val shA = shingled.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))

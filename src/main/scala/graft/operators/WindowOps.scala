@@ -11,6 +11,21 @@ import graft.functions.GraftFunctions._
   * ta_primitives.sql). All pure `WindowSpec`/`Column` composition —
   * Catalyst merges same-spec windows into one shuffle+sort, so a stack
   * of indicators over one (key, date) window costs a single exchange.
+  *
+  * == Bounded-global-window invariant ==
+  * Several signal queries (FredSignalQueries*, SignalQueries,
+  * MarketSignalsQueries breadth composites) use `Window.orderBy(date)`
+  * with NO partitioning, which WindowExec executes on a single
+  * partition (and warns about). Every such site sits ABOVE a
+  * date-grain aggregate of a market-wide or single-FRED-series line,
+  * so the windowed frame is bounded by the trading calendar (~250
+  * rows/year, ~10k rows over 40 years) at ANY corpus scale — the
+  * scale-bearing shuffle is the groupBy beneath it, and the single
+  * partition holds kilobytes. Do NOT "fix" these by salting or
+  * partitioning-by-year: a cumulative/recursive frame over a split
+  * key would silently truncate its history. A global window over a
+  * per-document or per-trade grain WOULD be a scale bug — keep those
+  * keyed via [[keyed]].
   */
 object WindowOps {
 

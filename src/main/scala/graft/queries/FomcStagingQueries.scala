@@ -58,6 +58,103 @@ object FomcStagingQueries {
     meetings(s, dir).crossJoin(
       broadcast(meetings(s, dir).agg(max(col("meeting_date")).as("today"))))
 
+  // ---- Fed sentiment lexicon fixture + scoring (FedLexicon) --------
+  //
+  // The transcript corpus itself is out of reach (no Fed scrapes in
+  // this environment), so each (meeting, section) gets a DETERMINISTIC
+  // synthetic paragraph whose phrase slots are chosen arithmetically
+  // from the lexicon — but the SCORING over that text is the real
+  // thing: word-boundary regex counts × reference weights, identical
+  // on the Spark and DuckDB sides. Swap the fixture text column for
+  // real transcript sections and the scorer is unchanged.
+  import graft.operators.FedLexicon
+  import graft.operators.FedLexicon.{hawkish => lexH, dovish => lexD, trackedExtra => lexT}
+
+  /** Count-column name per phrase (shared by both engines). */
+  private val lexCol: Map[String, String] =
+    (lexH.zipWithIndex.map { case (t, i) => t.phrase -> s"ch$i" } ++
+      lexD.zipWithIndex.map { case (t, i) => t.phrase -> s"cd$i" } ++
+      lexT.zipWithIndex.map { case (p, i) => p -> s"ct$i" }).toMap
+
+  private val lexTailHawk =
+    "Policy remains restrictive and members stay vigilant about elevated inflation."
+  private val lexTailDove =
+    "A patient and gradual approach with well anchored expectations was deemed appropriate."
+
+  /** Spark-side fixture text for one (ed, spk) row — mirrored by
+    * [[lexTxtSql]] character-for-character. */
+  private def lexTxt: Column = {
+    val hArr = array(lexH.map(t => lit(t.phrase)): _*)
+    val dArr = array(lexD.map(t => lit(t.phrase)): _*)
+    def hPick(e: Column) = element_at(hArr, (pmod(e, lit(lexH.size)) + 1).cast("int"))
+    def dPick(e: Column) = element_at(dArr, (pmod(e, lit(lexD.size)) + 1).cast("int"))
+    lower(concat(
+      lit("The Committee noted "), hPick(col("ed") + col("spk")),
+      lit(" and "), hPick(col("ed") * 3 + col("spk") * 5),
+      lit(" in recent months. Several participants emphasized "),
+      dPick(col("ed") + col("spk") * 2),
+      lit(", while others saw "), dPick(col("ed") * 7 + col("spk")),
+      lit(". "),
+      when((col("ed") + col("spk")) % 3 === 0, lexTailHawk).otherwise(lexTailDove)))
+  }
+
+  private def oList(phrases: Seq[String]): String =
+    phrases.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of [[lexTxt]]. */
+  private val lexTxtSql: String = {
+    def hPick(e: String) = s"list_extract(${oList(lexH.map(_.phrase))}, 1 + ($e) % ${lexH.size})"
+    def dPick(e: String) = s"list_extract(${oList(lexD.map(_.phrase))}, 1 + ($e) % ${lexD.size})"
+    s"""LOWER('The Committee noted ' || ${hPick("ed + spk")}
+       || ' and ' || ${hPick("ed * 3 + spk * 5")}
+       || ' in recent months. Several participants emphasized '
+       || ${dPick("ed + spk * 2")}
+       || ', while others saw ' || ${dPick("ed * 7 + spk")}
+       || '. ' || CASE WHEN (ed + spk) % 3 = 0 THEN '$lexTailHawk'
+                  ELSE '$lexTailDove' END)"""
+  }
+
+  /** All phrase-count columns over a lowercased `txt` column. */
+  private def lexCounts: Seq[Column] =
+    (lexH.map(_.phrase) ++ lexD.map(_.phrase) ++ lexT).map(p =>
+      FedLexicon.phraseCount(col("txt"), p).as(lexCol(p)))
+
+  private val lexCountsSql: String =
+    (lexH.map(_.phrase) ++ lexD.map(_.phrase) ++ lexT)
+      .map(p => s"${FedLexicon.oPhraseCount("txt", p)} AS ${lexCol(p)}")
+      .mkString(",\n            ")
+
+  /** keyword_counts digest: `phrase:count` for matched phrases in the
+    * reference's dict-insertion order (hawkish defs, dovish defs, then
+    * tracked extras — lexicon.py:131-150). */
+  private def lexKwCounts: Column = concat_ws(",",
+    (lexH.map(_.phrase) ++ lexD.map(_.phrase) ++ lexT).map(p =>
+      when(col(lexCol(p)) > 0, concat(lit(p + ":"), col(lexCol(p))))): _*)
+
+  private val lexKwCountsSql: String = "CONCAT_WS(','," +
+    (lexH.map(_.phrase) ++ lexD.map(_.phrase) ++ lexT)
+      .map(p => s"CASE WHEN ${lexCol(p)} > 0 THEN '$p:' || CAST(${lexCol(p)} AS VARCHAR) END")
+      .mkString(", ") + ")"
+
+  /** key_phrases digest: matched dictionary phrases, weight-desc
+    * (stable on hawkish-then-dovish order — lexicon.py:177-182). */
+  private def lexKeyPhrases: Column = concat_ws("|",
+    FedLexicon.byWeightDesc.map(t => when(col(lexCol(t.phrase)) > 0, lit(t.phrase))): _*)
+
+  private val lexKeyPhrasesSql: String = "CONCAT_WS('|'," +
+    FedLexicon.byWeightDesc
+      .map(t => s"CASE WHEN ${lexCol(t.phrase)} > 0 THEN '${t.phrase}' END")
+      .mkString(", ") + ")"
+
+  private def lexWeighted(terms: Seq[FedLexicon.Term]): Column =
+    terms.map(t => col(lexCol(t.phrase)) * t.w10).reduce(_ + _).cast("long")
+  private def lexHits(terms: Seq[FedLexicon.Term]): Column =
+    terms.map(t => col(lexCol(t.phrase))).reduce(_ + _).cast("long")
+  private def lexWeightedSql(terms: Seq[FedLexicon.Term]): String =
+    terms.map(t => s"${lexCol(t.phrase)} * ${t.w10}").mkString(" + ")
+  private def lexHitsSql(terms: Seq[FedLexicon.Term]): String =
+    terms.map(t => lexCol(t.phrase)).mkString(" + ")
+
   val defs: Seq[QueryDef] = Seq(
     // stg_fomc_transcripts.sql
     QueryDef(
@@ -250,35 +347,55 @@ object FomcStagingQueries {
     QueryDef(
       "q_stg_fomc_sentiment_scores",
       (s, dir) => {
-        val m = meetings(s, dir)
-        val speakers = m
+        val sections = meetings(s, dir)
           .withColumn("spk", explode(sequence(lit(0), lit(3))))
           .withColumn("speaker",
             when(col("spk") === 0, "MEETING").otherwise(concat(lit("Member "), col("spk"))))
-          .withColumn("scoring_method",
-            when(col("spk") % 2 === 0, "keyword").otherwise("llm"))
-          .withColumn("hawkish_score", ((col("ed") * 7 + col("spk") * 13) % 100) / 100.0)
-          .withColumn("dovish_score", ((col("ed") * 11 + col("spk") * 17) % 100) / 100.0)
-          .withColumn("net_sentiment_score", col("hawkish_score") - col("dovish_score"))
-        val w = Window.partitionBy(col("speaker"), col("scoring_method")).orderBy(col("meeting_date"))
-        speakers
+          .withColumn("txt", lexTxt)
+        val counted = sections.select(col("*") +: lexCounts: _*)
+        val scored = counted
+          .withColumn("h10", lexWeighted(lexH))
+          .withColumn("d10", lexWeighted(lexD))
+          .withColumn("h_hits", lexHits(lexH))
+          .withColumn("d_hits", lexHits(lexD))
+          // min(total/max_possible, 1) rounded to 3 — exact int ratio
+          // (lexicon.py:160-161); clip BEFORE rounding on exact ints.
+          .withColumn("hawkish_score",
+            when(col("h10") >= FedLexicon.maxH10, 1.0)
+              .otherwise(QueryDef.rdiv(col("h10"), lit(FedLexicon.maxH10), 3)))
+          .withColumn("dovish_score",
+            when(col("d10") >= FedLexicon.maxD10, 1.0)
+              .otherwise(QueryDef.rdiv(col("d10"), lit(FedLexicon.maxD10), 3)))
+          // (hawkish − dovish) / (hawkish + dovish), 0 when no hits
+          // (lexicon.py:152-153) — the ×10 weight scaling cancels.
+          .withColumn("net_sentiment_score",
+            when(col("h10") + col("d10") === 0, 0.0)
+              .otherwise(QueryDef.rdiv(col("h10") - col("d10"), col("h10") + col("d10"), 3)))
+        val w = Window.partitionBy(col("speaker")).orderBy(col("meeting_date"))
+        scored
           .withColumn("prev_meeting_score", lag(col("net_sentiment_score"), 1).over(w))
           .select(
             concat(lit("score_"), col("meeting_date").cast("string"), lit("_"), col("spk")).as("score_id"),
             col("transcript_id"),
             when(col("spk") =!= 0, concat(lit("sec_"), col("transcript_id"), lit("_"), col("spk")))
               .as("section_id"),
-            col("meeting_date"), col("speaker"), col("scoring_method"),
+            col("meeting_date"), col("speaker"),
+            // the reference's LLM scoring path is out of engine scope
+            // (SURVEY §0); every row here is the keyword path, for real
+            lit("keyword").as("scoring_method"),
             col("hawkish_score"), col("dovish_score"), col("net_sentiment_score"),
-            (((col("ed") + col("spk")) % 50) / 100.0 + 0.5).as("confidence"),
-            concat(lit("hawkish:"), col("ed") % 9, lit(",dovish:"), col("ed") % 7).as("keyword_counts"),
-            (col("ed") % 9).cast("long").as("total_hawkish_keywords"),
-            (col("ed") % 7).cast("long").as("total_dovish_keywords"),
-            concat(lit("phrase_"), col("ed") % 13).as("key_phrases"),
+            when(col("h_hits") + col("d_hits") >= 10, 1.0)
+              .otherwise((col("h_hits") + col("d_hits")).cast("double") / 10.0)
+              .as("confidence"),
+            lexKwCounts.as("keyword_counts"),
+            col("h_hits").as("total_hawkish_keywords"),
+            col("d_hits").as("total_dovish_keywords"),
+            lexKeyPhrases.as("key_phrases"),
             col("prev_meeting_score"),
             (col("net_sentiment_score") - col("prev_meeting_score")).as("score_delta"),
-            concat(lit("Reasoning "), col("ed") % 5).as("reasoning"),
-            lit("model-x").as("model_name"),
+            concat(lit("hawkish_hits="), col("h_hits"), lit("; dovish_hits="), col("d_hits"))
+              .as("reasoning"),
+            lit("lexicon-keyword-v1").as("model_name"),
             lit("2026-01-01T00:00:00").as("created_at"),
             year(col("meeting_date")).cast("long").as("year"),
             quarter(col("meeting_date")).cast("long").as("quarter"),
@@ -290,30 +407,51 @@ object FomcStagingQueries {
       },
       Some(s"""
         WITH $meetingsSql,
-        speakers AS (
+        sections AS (
           SELECT m.*, t.spk,
             CASE WHEN t.spk = 0 THEN 'MEETING' ELSE 'Member ' || CAST(t.spk AS VARCHAR) END AS speaker,
-            CASE WHEN t.spk % 2 = 0 THEN 'keyword' ELSE 'llm' END AS scoring_method,
-            CAST((ed * 7 + t.spk * 13) % 100 AS DOUBLE) / 100.0 AS hawkish_score,
-            CAST((ed * 11 + t.spk * 17) % 100 AS DOUBLE) / 100.0 AS dovish_score,
-            CAST((ed * 7 + t.spk * 13) % 100 AS DOUBLE) / 100.0
-              - CAST((ed * 11 + t.spk * 17) % 100 AS DOUBLE) / 100.0 AS net_sentiment_score
+            $lexTxtSql AS txt
           FROM meetings m, (SELECT UNNEST(generate_series(0, 3)) AS spk) t
+        ),
+        counted AS (
+          SELECT *,
+            $lexCountsSql
+          FROM sections
+        ),
+        scored AS (
+          SELECT *,
+            CAST(${lexWeightedSql(lexH)} AS BIGINT) AS h10,
+            CAST(${lexWeightedSql(lexD)} AS BIGINT) AS d10,
+            CAST(${lexHitsSql(lexH)} AS BIGINT) AS h_hits,
+            CAST(${lexHitsSql(lexD)} AS BIGINT) AS d_hits
+          FROM counted
+        ),
+        graded AS (
+          SELECT *,
+            CASE WHEN h10 >= ${FedLexicon.maxH10} THEN CAST(1.0 AS DOUBLE)
+                 ELSE ${QueryDef.oDivRound("h10 * 1000000", FedLexicon.maxH10.toString, 3)} END AS hawkish_score,
+            CASE WHEN d10 >= ${FedLexicon.maxD10} THEN CAST(1.0 AS DOUBLE)
+                 ELSE ${QueryDef.oDivRound("d10 * 1000000", FedLexicon.maxD10.toString, 3)} END AS dovish_score,
+            CASE WHEN h10 + d10 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE ${QueryDef.oDivRound("(h10 - d10) * 1000000", "h10 + d10", 3)} END AS net_sentiment_score
+          FROM scored
         )
         SELECT 'score_' || CAST(meeting_date AS VARCHAR) || '_' || CAST(spk AS VARCHAR) AS score_id,
           transcript_id,
           CASE WHEN spk != 0 THEN 'sec_' || transcript_id || '_' || CAST(spk AS VARCHAR) END AS section_id,
-          meeting_date, speaker, scoring_method,
+          meeting_date, speaker,
+          'keyword' AS scoring_method,
           hawkish_score, dovish_score, net_sentiment_score,
-          CAST((ed + spk) % 50 AS DOUBLE) / 100.0 + 0.5 AS confidence,
-          'hawkish:' || CAST(ed % 9 AS VARCHAR) || ',dovish:' || CAST(ed % 7 AS VARCHAR) AS keyword_counts,
-          ed % 9 AS total_hawkish_keywords,
-          ed % 7 AS total_dovish_keywords,
-          'phrase_' || CAST(ed % 13 AS VARCHAR) AS key_phrases,
+          CASE WHEN h_hits + d_hits >= 10 THEN CAST(1.0 AS DOUBLE)
+               ELSE CAST(h_hits + d_hits AS DOUBLE) / 10.0 END AS confidence,
+          $lexKwCountsSql AS keyword_counts,
+          h_hits AS total_hawkish_keywords,
+          d_hits AS total_dovish_keywords,
+          $lexKeyPhrasesSql AS key_phrases,
           LAG(net_sentiment_score, 1) OVER w AS prev_meeting_score,
           net_sentiment_score - LAG(net_sentiment_score, 1) OVER w AS score_delta,
-          'Reasoning ' || CAST(ed % 5 AS VARCHAR) AS reasoning,
-          'model-x' AS model_name,
+          'hawkish_hits=' || CAST(h_hits AS VARCHAR) || '; dovish_hits=' || CAST(d_hits AS VARCHAR) AS reasoning,
+          'lexicon-keyword-v1' AS model_name,
           '2026-01-01T00:00:00' AS created_at,
           CAST(EXTRACT(YEAR FROM meeting_date) AS BIGINT) AS year,
           CAST(EXTRACT(QUARTER FROM meeting_date) AS BIGINT) AS quarter,
@@ -321,8 +459,8 @@ object FomcStagingQueries {
                WHEN net_sentiment_score < -0.1 THEN 'dovish'
                ELSE 'neutral' END AS sentiment_label,
           CAST(CASE WHEN spk = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_meeting_aggregate
-        FROM speakers
-        WINDOW w AS (PARTITION BY speaker, scoring_method ORDER BY meeting_date)
+        FROM graded
+        WINDOW w AS (PARTITION BY speaker ORDER BY meeting_date)
       """)
     ),
     // stg_transcript_sections.sql: exploded per-meeting sections with

@@ -33,16 +33,26 @@ object StreamingQueries {
   private def runToTable(name: String, out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     spark.catalog.dropTempView(name) // stale result from a prior call, if any
-    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name")
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally {
+      // The memory-sink table is driver-resident after termination;
+      // the checkpoint (offsets + state store) is dead weight. Delete
+      // it so repeated Bench/Verify runs don't accumulate /tmp trees.
+      import scala.jdk.CollectionConverters._
+      val walk  = Files.walk(ckpt)
+      val paths = try walk.iterator().asScala.toVector finally walk.close()
+      paths.reverseIterator.foreach(p => Files.deleteIfExists(p)) // children first
+    }
   }
 
   /** File-source stream over ONE parquet file. A literal non-glob

@@ -54,9 +54,17 @@ class Round4Specs extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ngramJaccardPairs df cap drops stop-shingle-only candidates") {
     // maxDf = 1 excludes every shared shingle (shared => df >= 2),
-    // so no candidates survive.
-    val got = DedupOps.ngramJaccardPairs(fixture, "id", "text", shingleN = 3, maxDf = 1, minJaccard = 0.0)
+    // so no candidates survive. minJaccard is small-but-positive: 0
+    // is rejected (it would be an all-pairs join and overflows the
+    // single-shared-shingle rescue bound).
+    val got = DedupOps.ngramJaccardPairs(fixture, "id", "text", shingleN = 3, maxDf = 1, minJaccard = 0.01)
     assert(got.count() == 0)
+  }
+
+  test("ngramJaccardPairs rejects a zero similarity threshold") {
+    intercept[IllegalArgumentException] {
+      DedupOps.ngramJaccardPairs(fixture, "id", "text", shingleN = 3, maxDf = 1, minJaccard = 0.0)
+    }
   }
 
   // -----------------------------------------------------------------
