@@ -776,7 +776,7 @@ object FredSignalQueries {
   // economic_alert_inputs (ref signals/economic_alert_inputs.sql)
   // ------------------------------------------------------------------
 
-  private def alertInputs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def alertInputs(s: SparkSession, dir: String): DataFrame = {
     val stg = stgFred(s, dir,
       Seq("CPIAUCSL", "T10Y2Y", "UNRATE", "FEDFUNDS", "BAMLH0A0HYM2"))
 
@@ -830,7 +830,7 @@ object FredSignalQueries {
         col("unrate_change_3mo"), col("fedfunds_change_1mo"), col("hy_oas_pct"))
   }
 
-  private val alertInputsSql: String = s"""
+  private[queries] val alertInputsSql: String = s"""
     WITH ${stgFredSql(Seq("CPIAUCSL", "T10Y2Y", "UNRATE", "FEDFUNDS", "BAMLH0A0HYM2"))},
     cpi AS (
       SELECT date, literal AS cpi_level,

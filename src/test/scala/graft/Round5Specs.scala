@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AlertOps, FedLexicon}
+
+/** Round-5 additions: the alert breach/resolve state machine and the
+  * Fed sentiment lexicon scorer. */
+class Round5Specs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("round5-specs")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def day(d: Int) = Date.valueOf(f"2024-01-$d%02d")
+
+  test("breachResolveEvents: breach, resolve, re-breach, still-open") {
+    import spark.implicits._
+    // One alert (gt 3.0): clear, breach(2 obs), clear, breach(open);
+    // a second alert that never breaches contributes no events.
+    val obs = Seq(
+      ("a1", day(1), 2.0), ("a1", day(2), 3.5), ("a1", day(3), 4.0),
+      ("a1", day(4), 1.0), ("a1", day(5), 5.0),
+      ("a2", day(1), 2.0), ("a2", day(2), 2.5)
+    ).toDF("alert_id", "date", "observed_value")
+      .withColumn("indicator", col("alert_id"))
+      .withColumn("comparator", lit("gt"))
+      .withColumn("threshold", lit(3.0))
+      .withColumn("severity", lit("warning"))
+      .withColumn("title", lit("t"))
+      .withColumn("breached",
+        AlertOps.breached(col("observed_value"), col("comparator"), col("threshold")).cast("int"))
+
+    val ev = AlertOps.breachResolveEvents(obs)
+      .orderBy("event_id").collect()
+
+    assert(ev.length == 2, s"expected 2 episodes, got ${ev.toSeq}")
+    val first = ev(0)
+    assert(first.getAs[Date]("breached_at") == day(2))
+    assert(first.getAs[Date]("resolved_at") == day(4))
+    assert(first.getAs[Double]("observed_value") == 3.5) // value AT breach
+    assert(first.getAs[String]("status") == "resolved")
+    assert(first.getAs[Long]("days_open") == 2L)
+    val second = ev(1)
+    assert(second.getAs[Date]("breached_at") == day(5))
+    assert(second.getAs[Date]("resolved_at") == null)
+    assert(second.getAs[String]("status") == "open")
+  }
+
+  test("breached dispatches all four comparators") {
+    import spark.implicits._
+    val rows = Seq(
+      ("gt", 3.0, 3.0, false), ("gt", 3.1, 3.0, true),
+      ("lt", 3.0, 3.0, false), ("lt", 2.9, 3.0, true),
+      ("gte", 3.0, 3.0, true), ("gte", 2.9, 3.0, false),
+      ("lte", 3.0, 3.0, true), ("lte", 3.1, 3.0, false)
+    ).toDF("cmp", "v", "thr", "want")
+    val got = rows.withColumn("got", AlertOps.breached(col("v"), col("cmp"), col("thr")))
+      .filter(col("got") =!= col("want")).count()
+    assert(got == 0)
+  }
+
+  test("FedLexicon phrase counts are word-bounded and independent") {
+    import spark.implicits._
+    val df = Seq(
+      // "ease" must not match "please"; "elevated inflation" must also
+      // feed the bare "inflation" count (independent per-keyword loop)
+      "please remain seated; elevated inflation and inflation risks",
+      "the committee will tighten; tightening continues"
+    ).toDF("txt")
+    val counts = df.select(
+      FedLexicon.phraseCount(col("txt"), "ease").as("ease"),
+      FedLexicon.phraseCount(col("txt"), "inflation").as("infl"),
+      FedLexicon.phraseCount(col("txt"), "elevated inflation").as("elev"),
+      FedLexicon.phraseCount(col("txt"), "tighten").as("tighten"),
+      FedLexicon.phraseCount(col("txt"), "tightening").as("tightening")
+    ).collect()
+    assert(counts(0).getAs[Int]("ease") == 0)
+    assert(counts(0).getAs[Int]("infl") == 2)
+    assert(counts(0).getAs[Int]("elev") == 1)
+    assert(counts(1).getAs[Int]("tighten") == 1)
+    assert(counts(1).getAs[Int]("tightening") == 1)
+  }
+
+  test("FedLexicon dictionaries match the reference inventory") {
+    // lexicon.py: 30 hawkish, 36 dovish, weights in [0.1, 0.9] tenths,
+    // no phrase in both dictionaries, 5 tracked-only phrases.
+    assert(FedLexicon.hawkish.size == 30)
+    assert(FedLexicon.dovish.size == 36)
+    assert(FedLexicon.trackedExtra.size == 5)
+    val all = FedLexicon.hawkish.map(_.phrase) ++ FedLexicon.dovish.map(_.phrase)
+    assert(all.distinct.size == all.size)
+    assert((FedLexicon.hawkish ++ FedLexicon.dovish).forall(t => t.w10 >= 1 && t.w10 <= 9))
+    assert(FedLexicon.maxH10 == FedLexicon.hawkish.map(_.w10).sum.toLong)
+  }
+}
