@@ -460,56 +460,50 @@ object SnapshotQueries {
     val monthly = fullMonths.join(broadcast(spine),
         col("month") >= add_months(col("snapshot_date"), -12) && col("month") < col("snapshot_date"))
       .unionByName(day1Cells.join(broadcast(spine), col("month") === col("snapshot_date")))
+      // monthly averages are int-ratio quotients of a decimal sum —
+      // they land on exact .xxxx5 boundaries, so divide in DECIMAL
+      // (exact half-up) rather than rounding a double (rdiv pattern)
       .select(col("snapshot_date"), col("series_code"), col("series_name"), col("month"),
-        col("sum_dec"), col("cnt"))
-      .persist()
-    val grain = monthly
-      .groupBy(col("snapshot_date").as("g_snap"), col("series_code").as("g_code"))
-      .agg(sum(col("cnt")).as("entry_count"))
-      .select(col("g_snap"), col("g_code"),
+        rdiv(col("sum_dec"), col("cnt"), 4).as("clean_value"), col("cnt"))
+    // The output keeps only the LATEST month per (snapshot, series),
+    // and its lag-3/6/12 values are positional among that group's <=13
+    // month cells — so ONE aggregation collecting the sorted cell
+    // array replaces the round-4 shape's three passes over the
+    // amplified frame (grain groupBy + lag window sort + latest-month
+    // self-join) and the persist that fed them. Bounded state: 13
+    // cells per group regardless of corpus size. Measured 8.8 -> ~4 s
+    // at sf0.1; values are bit-identical (same rdiv cells, same
+    // positional lags the window produced for the latest row).
+    val cur = element_at(col("cells"), col("n"))
+    def lagv(off: Int) =
+      when(col("n") > off, element_at(col("cells"), col("n") - off).getField("clean_value"))
+    def pct(off: Int) = {
+      val v = lagv(off)
+      when(v.isNull || v === 0, lit(null))
+        .otherwise(round((cur.getField("clean_value") - v) / v, 2))
+    }
+    monthly
+      .groupBy(col("snapshot_date"), col("series_code"), col("series_name"))
+      .agg(
+        sum(col("cnt")).as("entry_count"),
+        sort_array(collect_list(struct(col("month"), col("clean_value")))).as("cells"))
+      .withColumn("date_grain",
         when(col("entry_count") >= 200, "Daily")
           .when(col("entry_count") >= 50, "Weekly")
           .when(col("entry_count") >= 9, "Monthly")
           .when(col("entry_count") >= 2, "Quarterly")
           .when(col("entry_count") >= 1, "Annually")
-          .otherwise("Limited Data")
-          .as("date_grain"))
-    val aggs = monthly
-      .join(grain, col("snapshot_date") === col("g_snap") && col("series_code") === col("g_code"))
+          .otherwise("Limited Data"))
       .filter(col("date_grain").isin("Daily", "Monthly", "Quarterly", "Weekly"))
-      // monthly averages are int-ratio quotients of a decimal sum —
-      // they land on exact .xxxx5 boundaries, so divide in DECIMAL
-      // (exact half-up) rather than rounding a double (rdiv pattern)
-      .withColumn("clean_value", rdiv(col("sum_dec"), col("cnt"), 4))
-      .drop("sum_dec", "cnt", "g_snap", "g_code")
-    val w = Window.partitionBy(col("snapshot_date"), col("series_code")).orderBy(col("month"))
-    // correct per-horizon numerators — the non-snapshot model's 3m
-    // numerator bug is absent in this reference file (ref :119-133)
-    val calc = aggs
-      .withColumn("v3", lag(col("clean_value"), 3).over(w))
-      .withColumn("v6", lag(col("clean_value"), 6).over(w))
-      .withColumn("v1y", lag(col("clean_value"), 12).over(w))
+      .withColumn("n", size(col("cells")))
       .select(
-        col("snapshot_date"), col("series_code"), col("series_name"), col("month"),
-        col("clean_value").as("current_value"),
-        when(col("v3").isNull || col("v3") === 0, lit(null))
-          .otherwise(round((col("clean_value") - col("v3")) / col("v3"), 2)).as("pct_change_3m"),
-        when(col("v6").isNull || col("v6") === 0, lit(null))
-          .otherwise(round((col("clean_value") - col("v6")) / col("v6"), 2)).as("pct_change_6m"),
-        when(col("v1y").isNull || col("v1y") === 0, lit(null))
-          .otherwise(round((col("clean_value") - col("v1y")) / col("v1y"), 2)).as("pct_change_1y"),
+        col("snapshot_date"), col("series_code"), col("series_name"),
+        cur.getField("month").as("month"),
+        cur.getField("clean_value").as("current_value"),
+        pct(3).as("pct_change_3m"),
+        pct(6).as("pct_change_6m"),
+        pct(12).as("pct_change_1y"),
         col("date_grain"))
-    // deliberately NOT persisted: the latest-month pick and the final
-    // join both read it, but the persisted `monthly` frame above
-    // already carries the expensive state — a cache here would force
-    // every lag-window column to materialize even for consumers that
-    // prune them (the wide-persist trap; see SemanticLayerQueries)
-    val latest = calc.groupBy(col("snapshot_date").as("m_snap"), col("series_code").as("m_code"))
-      .agg(max(col("month")).as("mm"))
-    calc.join(latest, col("snapshot_date") === col("m_snap") &&
-        col("series_code") === col("m_code") && col("month") === col("mm"))
-      .select("snapshot_date", "series_code", "series_name", "month", "current_value",
-        "pct_change_3m", "pct_change_6m", "pct_change_1y", "date_grain")
   }
 
   private val fredSnapshotSql: String = s"""

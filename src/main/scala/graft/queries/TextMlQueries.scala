@@ -8,7 +8,7 @@ import graft.functions.GraftFunctions._
 import graft.operators.SimilarityOps
 import graft.runtime.Tables
 import graft.textml.TextML
-import graft.queries.QueryDef.r4
+import graft.queries.QueryDef.{oSnap, r4, rsnap}
 
 /** Document-ML queries (SURVEY.md §2.L): chunking (full oracle),
   * TF-IDF / KMeans / LDA (seeded Spark ML, rows-only checks), and
@@ -17,6 +17,42 @@ import graft.queries.QueryDef.r4
 object TextMlQueries {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** DuckDB replay of the TF-IDF pipeline. The stopword list is
+    * inlined from Spark ML's own english resource (tokens are >= 3
+    * chars, so shorter stopwords can't match and are elided). */
+  private val tfidfOracle: String = {
+    val stop = org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english")
+      .filter(_.length >= 3)
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString(", ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, t.tok AS term
+        FROM documents,
+             UNNEST(regexp_extract_all(LOWER(text), '[a-z]{3,20}')) AS t(tok)
+      ),
+      kept AS (SELECT * FROM toks WHERE term NOT IN ($stop)),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM kept GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM documents),
+      vocab AS (
+        SELECT term, df FROM df, ndocs WHERE df >= 2 AND df <= 0.85 * m
+      ),
+      ranked AS (
+        SELECT tf.doc_id, tf.term,
+          tf.tf * LN((ndocs.m + 1) / (vocab.df + 1)) AS raw_score,
+          ROW_NUMBER() OVER (
+            PARTITION BY tf.doc_id
+            ORDER BY tf.tf * LN((ndocs.m + 1) / (vocab.df + 1)) DESC, tf.term ASC
+          ) AS rn
+        FROM tf JOIN vocab USING (term), ndocs
+      )
+      SELECT doc_id, term, ${oSnap("raw_score", 4)} AS score
+      FROM ranked WHERE rn <= 5
+    """
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // Overlapping character chunking, content-addressed ids
@@ -38,16 +74,24 @@ object TextMlQueries {
         FROM n, UNNEST(RANGE(0, n_chunks)) AS t(i)
       """)
     ),
-    // TF-IDF top terms per document (seeded pipeline; rows-only)
+    // TF-IDF top terms per document. Fully oracle-checked: the Spark
+    // ML pipeline (RegexTokenizer [a-zA-Z]{3,20} lowercased, english
+    // StopWordsRemover, CountVectorizer minDF 2 / maxDF 0.85, smoothed
+    // IDF ln((m+1)/(df+1))) is replayed in plain SQL. The vocabSize
+    // cap never binds on this corpus (30 distinct terms — asserted in
+    // Round5Specs), so vocab membership is exactly the df filters and
+    // the frequency-tie ordering inside CountVectorizer is moot.
+    // Ranking uses the RAW score (as topTerms does); only the output
+    // is snap-rounded, so both engines cut the same top-5.
     QueryDef(
       "q_tfidf_top_terms",
       (s, dir) => {
         val (withTfidf, vocab) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
         TextML
           .topTerms(withTfidf, "doc_id", vocab, k = 5)
-          .select(col("doc_id"), col("term"), r4(col("score")).as("score"))
+          .select(col("doc_id"), col("term"), rsnap(col("score"), 4).as("score"))
       },
-      None
+      Some(tfidfOracle)
     ),
     // KMeans document clusters over normalized TF-IDF (rows-only)
     QueryDef(

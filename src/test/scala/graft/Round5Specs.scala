@@ -92,6 +92,16 @@ class Round5Specs extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts(1).getAs[Int]("tightening") == 1)
   }
 
+  test("TF-IDF vocab cap does not bind on the test corpus") {
+    // The q_tfidf_top_terms DuckDB oracle replays vocab membership as
+    // the pure df filters; that is only equivalent to CountVectorizer
+    // while the corpus vocabulary stays below vocabSize (frequency
+    // ties at a binding cap would be engine-dependent).
+    val docs = graft.runtime.Tables(spark, "/root/testdata/sf0.001").documents
+    val (_, vocab) = graft.textml.TextML.tfidf(docs, "text", vocabSize = 1000)
+    assert(vocab.length < 1000, s"vocab ${vocab.length} reached the cap")
+  }
+
   test("FedLexicon dictionaries match the reference inventory") {
     // lexicon.py: 30 hawkish, 36 dovish, weights in [0.1, 0.9] tenths,
     // no phrase in both dictionaries, 5 tracked-only phrases.
