@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions._
 import graft.signals.NumericSignals
 import graft.runtime.Tables
-import graft.queries.QueryDef.{dsum, r4}
+import graft.queries.QueryDef.{dsum, oSnap, r4, rsnap}
 
 /** Numeric research-signal queries (SURVEY.md §2.K). The linear-
   * algebra signals (Mahalanobis turbulence, eigen absorption ratio,
@@ -26,6 +26,49 @@ import graft.queries.QueryDef.{dsum, r4}
 object SignalQueries {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Rolling normalized order-3 permutation entropy as pure window
+    * expressions over a (flag, d, ret) frame (ref
+    * entropy_complexity.py:31-58). The ordinal pattern of
+    * (lag2, lag1, current) is the ranks sequence from a stable
+    * ascending sort by (value, index) encoded to its lexicographic
+    * id — 012=0, 021=1, 102=2, 120=3, 201=4, 210=5; 58 trailing
+    * patterns = the reference's sliding(3) over a 60-value history
+    * window ending at the current row. Round5Specs asserts parity
+    * with [[NumericSignals.permutationEntropy]] (the UDF form this
+    * replaced — same values, no 60-double array per row). Output:
+    * input columns + `pe`, rows before the 4th observation dropped
+    * (the reference's window.length < order+1 guard). */
+  private[graft] def permEntropyFrame(withRet: DataFrame): DataFrame = {
+    val wp = Window.partitionBy(col("flag")).orderBy(col("d"))
+    val withPat = withRet
+      .withColumn("a", lag(col("ret"), 2).over(wp))
+      .withColumn("b", lag(col("ret"), 1).over(wp))
+      .withColumn("pat",
+        when(col("a").isNull, lit(null))
+          .when(col("a") <= col("b") && col("b") <= col("ret"), 0)
+          .when(col("a") <= col("b") && col("a") <= col("ret"), 1)
+          .when(col("a") <= col("b"), 4)
+          .when(col("b") <= col("ret") && col("a") <= col("ret"), 2)
+          .when(col("b") <= col("ret"), 3)
+          .otherwise(5))
+      .withColumn("rn", row_number().over(wp))
+    val wPat    = wp.rowsBetween(-57, 0)
+    val counted = withPat.select(
+      col("*") +:
+        (0 to 5).map(k =>
+          sum(when(col("pat") === k, 1).otherwise(0)).over(wPat).as(s"c$k")) :+
+        count(col("pat")).over(wPat).as("ct"): _*)
+    val hTerms = (0 to 5).map { k =>
+      val p = col(s"c$k").cast("double") / col("ct").cast("double")
+      when(col(s"c$k") > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    val pe = when(col("rn") > 3, -hTerms.reduce(_ + _) / lit(math.log(6.0)))
+    counted
+      .withColumn("pe", pe)
+      .filter(col("pe").isNotNull)
+      .drop("a", "b", "pat", "rn", "c0", "c1", "c2", "c3", "c4", "c5", "ct")
+  }
 
   /** Wide daily panel: one column per supplier bucket (dense by
     * construction), inner-aligned (rows with any missing asset drop —
@@ -111,7 +154,13 @@ object SignalQueries {
       None
     ),
     // Rolling normalized permutation entropy per instrument
-    // (entropy_complexity.py:31-180). No oracle.
+    // (entropy_complexity.py:31-180). Promoted to a full oracle in
+    // round 5: the order-3 ordinal patterns are just comparisons of
+    // (lag2, lag1, current) with the reference's stable (value, idx)
+    // tie-break, so the UDF-over-collect_list form is replaced by six
+    // conditional windowed counts + an explicit entropy expression —
+    // no 60-double array per row, and the same formulation runs in
+    // DuckDB. Round5Specs asserts expression/UDF parity.
     QueryDef(
       "q_permutation_entropy",
       (s, dir) => {
@@ -119,26 +168,85 @@ object SignalQueries {
         val series = li
           .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("d"))
           .agg(r4(dsum(col("l_extendedprice"))).as("v"))
-        val w   = Window.partitionBy(col("flag")).orderBy(col("d"))
-        val ret = safeDivide(col("v") - lag(col("v"), 1).over(w), lag(col("v"), 1).over(w))
-        val out = series
-          .withColumn("ret", ret)
-          .filter(col("ret").isNotNull)
-          .withColumn("hist", collect_list(col("ret")).over(w.rowsBetween(-59, 0)))
-          .withColumn("pe", NumericSignals.permutationEntropy(3)(col("hist")))
-          .filter(col("pe").isNotNull)
-        val w20  = w.rowsBetween(-19, 0)
-        val w252 = w.rowsBetween(-251, 0)
-        out
+        val wp  = Window.partitionBy(col("flag")).orderBy(col("d"))
+        val ret = safeDivide(col("v") - lag(col("v"), 1).over(wp), lag(col("v"), 1).over(wp))
+        val peFrame = permEntropyFrame(
+          series.withColumn("ret", ret).filter(col("ret").isNotNull))
+        val w20  = wp.rowsBetween(-19, 0)
+        val w252 = wp.rowsBetween(-251, 0)
+        peFrame
           .withColumn("pe_trend20", col("pe") - avg(col("pe")).over(w20))
           .withColumn(
             "pe_z252",
             safeDivide(col("pe") - avg(col("pe")).over(w252), stddev_samp(col("pe")).over(w252))
           )
-          .select(col("flag"), col("d"), r4(col("pe")).as("perm_entropy"),
-            r4(col("pe_trend20")).as("pe_trend20"), r4(col("pe_z252")).as("pe_z252"))
+          .select(col("flag"), col("d"), rsnap(col("pe"), 4).as("perm_entropy"),
+            rsnap(col("pe_trend20"), 4).as("pe_trend20"), rsnap(col("pe_z252"), 4).as("pe_z252"))
       },
-      None
+      Some(s"""
+        WITH series AS (
+          SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS v
+          FROM lineitem GROUP BY 1, 2
+        ),
+        rets AS (
+          SELECT flag, d,
+            (v - LAG(v, 1) OVER w) / NULLIF(LAG(v, 1) OVER w, 0) AS ret
+          FROM series WINDOW w AS (PARTITION BY flag ORDER BY d)
+        ),
+        pats AS (
+          SELECT flag, d, ret,
+            LAG(ret, 2) OVER w AS a, LAG(ret, 1) OVER w AS b,
+            ROW_NUMBER() OVER w AS rn
+          FROM rets WHERE ret IS NOT NULL
+          WINDOW w AS (PARTITION BY flag ORDER BY d)
+        ),
+        coded AS (
+          SELECT flag, d, rn,
+            CASE WHEN a IS NULL THEN NULL
+                 WHEN a <= b AND b <= ret THEN 0
+                 WHEN a <= b AND a <= ret THEN 1
+                 WHEN a <= b THEN 4
+                 WHEN b <= ret AND a <= ret THEN 2
+                 WHEN b <= ret THEN 3
+                 ELSE 5 END AS pat
+          FROM pats
+        ),
+        counted AS (
+          SELECT flag, d, rn,
+            SUM(CASE WHEN pat = 0 THEN 1 ELSE 0 END) OVER wp AS c0,
+            SUM(CASE WHEN pat = 1 THEN 1 ELSE 0 END) OVER wp AS c1,
+            SUM(CASE WHEN pat = 2 THEN 1 ELSE 0 END) OVER wp AS c2,
+            SUM(CASE WHEN pat = 3 THEN 1 ELSE 0 END) OVER wp AS c3,
+            SUM(CASE WHEN pat = 4 THEN 1 ELSE 0 END) OVER wp AS c4,
+            SUM(CASE WHEN pat = 5 THEN 1 ELSE 0 END) OVER wp AS c5,
+            COUNT(pat) OVER wp AS ct
+          FROM coded
+          WINDOW wp AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 57 PRECEDING AND CURRENT ROW)
+        ),
+        pe_calc AS (
+          SELECT flag, d,
+            CASE WHEN rn > 3 THEN
+              -(  CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / CAST(ct AS DOUBLE)) * LN(CAST(c0 AS DOUBLE) / CAST(ct AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(ct AS DOUBLE)) * LN(CAST(c1 AS DOUBLE) / CAST(ct AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(ct AS DOUBLE)) * LN(CAST(c2 AS DOUBLE) / CAST(ct AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / CAST(ct AS DOUBLE)) * LN(CAST(c3 AS DOUBLE) / CAST(ct AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / CAST(ct AS DOUBLE)) * LN(CAST(c4 AS DOUBLE) / CAST(ct AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE) / CAST(ct AS DOUBLE)) * LN(CAST(c5 AS DOUBLE) / CAST(ct AS DOUBLE)) ELSE 0.0 END
+              ) / LN(6.0)
+            END AS pe
+          FROM counted
+        ),
+        kept AS (SELECT * FROM pe_calc WHERE pe IS NOT NULL)
+        SELECT flag, d,
+          ${oSnap("pe", 4)} AS perm_entropy,
+          ${oSnap("pe - AVG(pe) OVER w20", 4)} AS pe_trend20,
+          ${oSnap("(pe - AVG(pe) OVER w252) / NULLIF(STDDEV_SAMP(pe) OVER w252, 0)", 4)} AS pe_z252
+        FROM kept
+        WINDOW
+          w20 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+          w252 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
+      """)
     ),
     // MST network metrics on rolling correlation, 5-day stride
     // (network_correlation.py:60-156). No oracle.

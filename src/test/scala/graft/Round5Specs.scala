@@ -92,6 +92,32 @@ class Round5Specs extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts(1).getAs[Int]("tightening") == 1)
   }
 
+  test("permutation entropy window expressions match the UDF form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.SignalQueries
+    import graft.signals.NumericSignals
+    // deterministic series with plenty of ties (values in {0.0..0.4})
+    // so the stable (value, index) tie-break is actually exercised
+    val rows = for (flag <- Seq("A", "B"); i <- 0 until 150) yield
+      (flag, Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        ((i * 37 + flag.hashCode.abs) % 5) / 10.0)
+    val withRet = rows.toDF("flag", "d", "ret")
+    val expr = SignalQueries.permEntropyFrame(withRet)
+      .select(col("flag"), col("d"), col("pe"))
+    val wp = Window.partitionBy(col("flag")).orderBy(col("d"))
+    val udf = withRet
+      .withColumn("hist", collect_list(col("ret")).over(wp.rowsBetween(-59, 0)))
+      .withColumn("pe_udf", NumericSignals.permutationEntropy(3)(col("hist")))
+      .filter(col("pe_udf").isNotNull)
+      .select(col("flag"), col("d"), col("pe_udf"))
+    val joined = expr.join(udf, Seq("flag", "d"), "full_outer")
+    assert(joined.filter(col("pe").isNull || col("pe_udf").isNull).count() == 0,
+      "row sets must match")
+    val maxDev = joined.select(max(abs(col("pe") - col("pe_udf")))).as[Double].head()
+    assert(maxDev < 1e-12, s"maxDev=$maxDev")
+  }
+
   test("TF-IDF vocab cap does not bind on the test corpus") {
     // The q_tfidf_top_terms DuckDB oracle replays vocab membership as
     // the pure df filters; that is only equivalent to CountVectorizer
