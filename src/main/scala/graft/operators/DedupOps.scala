@@ -293,4 +293,66 @@ object DedupOps {
     }
     bits.reduce(_ + _)
   }
+
+  /** Connected components over an undirected pair list — the step
+    * that turns near-duplicate PAIRS into duplicate CLUSTERS (pick a
+    * canonical doc per component, drop the rest).
+    *
+    * Min-label propagation: every node starts labeled with itself;
+    * each round a node takes the minimum label among itself and its
+    * neighbors; fixpoint = per-component minimum id everywhere. Each
+    * round is one join + one groupBy (both partitioned by node id —
+    * the id shuffle partitioning is reused across rounds), and the
+    * driver only orchestrates round count + an isEmpty convergence
+    * probe — no graph data ever reaches the driver. Rounds needed =
+    * component diameter, which for similarity graphs is bounded by
+    * near-dup cluster size, not corpus size; a corpus with adversarial
+    * long chains would want the alternating small-star/large-star
+    * contraction (O(log n) rounds, same join/groupBy building blocks).
+    *
+    * Returns (node, lbl) for nodes that appear in `pairs`; singleton
+    * documents never enter the edge list — callers coalesce their own
+    * id.
+    *
+    * Lineage is truncated each round with an EAGER `localCheckpoint`:
+    * without it the logical plan compounds per round and Catalyst
+    * analysis cost explodes long before the data does (measured: a
+    * 10-round loop un-truncated spins minutes in the analyzer).
+    * localCheckpoint stores blocks on executors — right for local
+    * mode and static clusters; a dynamic-allocation cluster would
+    * swap in reliable `checkpoint` with a checkpoint dir.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds    = 0
+    while (!converged && rounds < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = labels.as("o")
+        .join(next.as("n"), Seq("node"))
+        .filter(col("o.lbl") =!= col("n.lbl"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
 }

@@ -311,6 +311,71 @@ object TextQueries {
               / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) >= 0.2
       """)
     ),
+    // Near-dup CLUSTERS: connected components over the MinHash pair
+    // list (min-label propagation), full-corpus (doc -> cluster)
+    // mapping with a canonical representative per cluster — the step
+    // a dedup pipeline actually acts on. Oracle: DuckDB recursive CTE
+    // enumerating reachable labels, MIN per node.
+    QueryDef(
+      "q_neardup_clusters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, dir).documents
+        val pairs = DedupOps
+          .nearDupPairs(docs, "doc_id", "text",
+            shingleN = 3, numSigs = 4, rowsPerBand = 4, minJaccard = 0.2)
+          .select(col("id_a"), col("id_b"))
+        val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        docs.select(col("doc_id"))
+          .join(cc, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+          .withColumn("is_representative",
+            (col("doc_id") === col("cluster_id")).cast("long"))
+      },
+      Some(s"""
+        WITH RECURSIVE $tokSql,
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3
+        ),
+        sig AS (
+          SELECT doc_id, s,
+            list_min(list_transform(s, x -> substr(md5(x), 1, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 9, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 17, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS bucket
+          FROM sh
+        ),
+        mh AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.2
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mh
+          UNION SELECT id_b, id_a FROM mh
+        ),
+        reach(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        members AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        mapped AS (
+          SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN members m ON d.doc_id = m.node
+        )
+        SELECT doc_id, cluster_id,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
+        FROM mapped
+      """)
+    ),
     // 16-bit SimHash from md5 hex-digit high bits
     QueryDef(
       "q_simhash_docs",

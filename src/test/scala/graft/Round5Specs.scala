@@ -92,6 +92,22 @@ class Round5Specs extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts(1).getAs[Int]("tightening") == 1)
   }
 
+  test("connectedComponents: min-label propagation over chain + separate components") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // a 10-node path (diameter 9 forces multiple propagation rounds),
+    // a 2-node component, and a triangle with a redundant edge
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L), (201L, 202L), (200L, 202L))).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(got(_) == 1L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+    assert(Seq(200L, 201L, 202L).forall(got(_) == 200L))
+    assert(got.size == 15)
+    spark.catalog.clearCache() // operator persists; spec owns cleanup
+  }
+
   test("permutation entropy window expressions match the UDF form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
