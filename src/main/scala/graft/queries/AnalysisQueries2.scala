@@ -103,8 +103,16 @@ object AnalysisQueries2 {
     // collapses each branch map-side before its exchange, while an
     // explode pushes every fact row × 5 tags through the shuffle
     // writer (same measurement as SemanticLayerQueries.layerAr).
+    // deliberately NOT persisted (measured A/B at sf0.1: persisting
+    // the shared base frame is ~1s SLOWER, 15.8 vs 14.7s on this
+    // pair) — materializing the 32-char md5 key column into storage
+    // costs more than five scans of compressed parquet with the hash
+    // recomputed in the codegen'd aggregation map. The recompute-vs-
+    // cache default here mirrors the stgPrices measurement in
+    // CrossAssetQueries.
+    val uniBase = MarketAnalysisQueries.universeBase(s, dir)
     val uniExact = Universes.map { case (_, bucket, _, ex, _) =>
-      MarketAnalysisQueries.universe(s, dir, bucket, ex)
+      MarketAnalysisQueries.universeFrom(uniBase, bucket, ex)
     }.reduce(_ unionByName _)
     val catCol = Universes.foldLeft(lit(null).cast("string")) {
       case (acc, (_, _, _, ex, cat)) => when(col("exchange") === ex, lit(cat)).otherwise(acc)

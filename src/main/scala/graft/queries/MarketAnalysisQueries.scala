@@ -46,22 +46,39 @@ object MarketAnalysisQueries {
     // calculate_commodity_analysis_return — see CommodityQueries
   )
 
-  def universe(s: SparkSession, dir: String, bucket: Column, exchange: String): DataFrame = {
-    val key = md5(concat_ws("|",
-      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-    T(s, dir).lineitem
-      .groupBy(bucket.as("symbol"), to_date(col("l_shipdate")).as("date"))
+  /** Shared pre-aggregation projection for universe builds: the md5
+    * tie-break key is a per-ROW hash of four id columns — computing it
+    * inside every universe branch makes an N-universe model pay N
+    * scans × N key hashes over the fact table. Multi-universe callers
+    * (baseHistorical's five branches) persist THIS narrow frame once
+    * and aggregate it N times; single-universe queries use it
+    * unpersisted (identical plan to the inlined form). */
+  def universeBase(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem.select(
+      col("l_partkey"), col("l_suppkey"), col("l_linestatus"), col("l_returnflag"),
+      to_date(col("l_shipdate")).as("date"),
+      col("l_extendedprice"), col("l_quantity"),
+      md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .as("__key"))
+
+  /** One universe aggregation over a [[universeBase]] frame. */
+  def universeFrom(base: DataFrame, bucket: Column, exchange: String): DataFrame =
+    base
+      .groupBy(bucket.as("symbol"), col("date"))
       .agg(
         max(col("l_extendedprice")).as("high"),
         min(col("l_extendedprice")).as("low"),
-        max_by(col("l_extendedprice"), key).as("close"),
+        max_by(col("l_extendedprice"), col("__key")).as("close"),
         r4(dsum(col("l_quantity"))).as("volume"))
       .withColumn("adj_close", col("close") * 0.5)
       .withColumn("adj_high", col("high") * 0.5)
       .withColumn("adj_low", col("low") * 0.5)
       .withColumn("adj_volume", col("volume") * 2)
       .withColumn("exchange", lit(exchange))
-  }
+
+  def universe(s: SparkSession, dir: String, bucket: Column, exchange: String): DataFrame =
+    universeFrom(universeBase(s, dir), bucket, exchange)
 
   def uniCte(bucketSql: String, exchange: String): String = s"""
     uni AS (
