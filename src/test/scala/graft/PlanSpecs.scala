@@ -139,4 +139,46 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "shingle join degenerated to nested-loop join")
   }
+
+  test("ngram jaccard carries no explicit broadcast hint (round-5 fix)") {
+    // the c-filter sizes ride the exploded rows: an EXPLICIT broadcast
+    // of a per-document frame would OOM at corpus scale. The planner
+    // may still choose broadcasts from tiny test-SF statistics — that
+    // adapts away at scale; a hard-coded hint does not, so the gate is
+    // on the logical plan's hints, not the physical join choice.
+    val analyzed = SparkEntry.queries("q_ngram_jaccard_pairs")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "per-document frames must not be broadcast-hinted")
+  }
+
+  test("fred snapshot runs without any window over the spine-amplified frame") {
+    // the round-5 single-pass rewrite replaced grain groupBy + lag
+    // window + latest self-join with one sorted-cell-array
+    // aggregation — a Window reappearing here means the amplified
+    // frame is being sorted again
+    val plan = executedPlan("q_fred_series_latest_aggregates_snapshot")
+    assert(!plan.contains("Window"), "snapshot must not window the amplified frame")
+  }
+
+  test("alert evaluation broadcasts the definitions, state machine stays keyed") {
+    // (the one BroadcastNestedLoopJoin inside alertInputs is the
+    // 1-row max-date anchor cross join — the repo's standard scalar
+    // broadcast pattern — so only CartesianProduct is banned here)
+    val plan = executedPlan("q_alert_events")
+    assert(plan.contains("BroadcastHashJoin"),
+      "5-row alert definitions must join via broadcast")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cross join")
+  }
+
+  test("lexicon scoring is a single meeting-grain aggregation (no extra shuffles)") {
+    // all 71 regexp counts and the score arithmetic are projections
+    // over the meetings frame: one hash aggregate for the monthly
+    // meetings, one window for the per-speaker lag — nothing that
+    // scales with transcript size shuffles
+    val plan = executedPlan("q_stg_fomc_sentiment_scores")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"lexicon scoring should shuffle only meeting aggregation + lag window; saw $exchanges")
+  }
 }
