@@ -55,6 +55,10 @@ object MarketAnalysisQueries {
     * unpersisted (identical plan to the inlined form). */
   def universeBase(s: SparkSession, dir: String): DataFrame =
     T(s, dir).lineitem.select(
+      // every column a caller's bucket expression may reference
+      // (factor/taa/etf buckets key on l_orderkey/l_suppkey too);
+      // unused ones are pruned by Catalyst below each groupBy
+      col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"), col("l_linestatus"), col("l_returnflag"),
       to_date(col("l_shipdate")).as("date"),
       col("l_extendedprice"), col("l_quantity"),
