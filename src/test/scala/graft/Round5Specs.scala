@@ -108,6 +108,28 @@ class Round5Specs extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache() // operator persists; spec owns cleanup
   }
 
+  test("connectedComponents agrees with union-find on a seeded random graph") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val rnd = new scala.util.Random(11)
+    val n = 2000
+    val edges = Seq.fill(1200)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference labels via driver-side union-find on the same edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val got = DedupOps.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b", maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"labels diverge on ${got.keySet.filter(k => got(k) != want(k)).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("permutation entropy window expressions match the UDF form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
