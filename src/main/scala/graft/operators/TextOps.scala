@@ -42,6 +42,29 @@ object TextOps {
     when(size(t) > 0, hits.cast("double") / size(t)).otherwise(lit(0.0))
   }
 
+  /** PII patterns for training-data scrubbing. Conservative regexes
+    * that behave identically under Java regex (Spark) and RE2
+    * (DuckDB, Go scrubbers): no lookaround, explicit classes.
+    * Replacement order is fixed (email, ssn, phone, ip) and the
+    * patterns are mutually non-overlapping on digit-group shape
+    * (3-2-4 ssn vs 3-3-4 phone vs 4-octet ip), so chained
+    * replacement equals simultaneous replacement. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "[PHONE]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Per-kind PII match count (before redaction). */
+  def piiCount(text: Column, kind: String): Column =
+    regexp_count(text, lit(PiiPatterns.find(_._1 == kind).get._2)).cast("long")
+
+  /** Text with every PII pattern replaced by its placeholder. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, rx, tag)) =>
+      regexp_replace(acc, rx, tag)
+    }
+
   /** Composite quality score in [0,1]: length band + non-degenerate
     * token mix (distinct/total ratio) + bounded avg token length.
     * Heuristic mirrors reference-style feature engineering

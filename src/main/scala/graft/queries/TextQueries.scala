@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -375,6 +375,73 @@ object TextQueries {
           CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
         FROM mapped
       """)
+    ),
+    // PII redaction (emails / SSNs / phones / IPs): the documents
+    // fixture has no organic PII, so each doc gets deterministic
+    // synthetic PII appended (both engines build the identical
+    // string), then the REAL pattern counting + chained redaction
+    // runs — count columns from regexp counts, redacted text compared
+    // byte-for-byte. RE2/Java-compatible patterns, no lookaround.
+    QueryDef(
+      "q_pii_redaction",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        def pad(e: Column, n: Int) = lpad(e.cast("string"), n, "0")
+        val seeded = concat(
+          col("text"),
+          lit(" Contact doc"), col("doc_id"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" or call 555-"), pad(col("doc_id") * 7 % 1000, 3),
+              lit("-"), pad(col("doc_id") * 13 % 10000, 4))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), col("doc_id") % 256,
+              lit("."), col("doc_id") * 3 % 256,
+              lit("."), col("doc_id") * 7 % 256)).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" SSN 123-45-"), pad(col("doc_id") * 11 % 10000, 4)))
+            .otherwise(lit("")))
+        val withPii = d.select(col("doc_id"), seeded.as("pii_text"))
+        withPii.select(
+          (col("doc_id") +:
+            TextOps.PiiPatterns.map { case (kind, _, _) =>
+              TextOps.piiCount(col("pii_text"), kind).as(s"n_${kind}s")
+            }) :+
+            TextOps.redactPii(col("pii_text")).as("redacted"): _*)
+          .withColumn("redacted_chars", length(col("redacted")).cast("long"))
+      },
+      Some {
+        val counts = TextOps.PiiPatterns
+          .map { case (kind, rx, _) =>
+            s"CAST(LEN(REGEXP_EXTRACT_ALL(pii_text, '$rx')) AS BIGINT) AS n_${kind}s" }
+          .mkString(",\n          ")
+        val redacted = TextOps.PiiPatterns
+          .foldLeft("pii_text") { case (acc, (_, rx, tag)) =>
+            s"REGEXP_REPLACE($acc, '$rx', '$tag', 'g')" }
+        s"""
+        WITH seeded AS (
+          SELECT doc_id,
+            text || ' Contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' or call 555-' || LPAD(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                      || '-' || LPAD(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                 ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' SSN 123-45-' || LPAD(CAST(doc_id * 11 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS pii_text
+          FROM documents
+        )
+        SELECT doc_id,
+          $counts,
+          $redacted AS redacted,
+          CAST(LENGTH($redacted) AS BIGINT) AS redacted_chars
+        FROM seeded
+        """
+      }
     ),
     // 16-bit SimHash from md5 hex-digit high bits
     QueryDef(
