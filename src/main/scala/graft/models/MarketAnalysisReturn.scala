@@ -25,13 +25,18 @@ import graft.queries.QueryDef.{oSnap, rsnap}
   * plain round on both sides. One window family per horizon set (all
   * frames share (symbol, exchange) ORDER BY day-number).
   *
-  * Scale plan: the five calendar lookbacks are ONE equi join, not
-  * five — each daily row is exploded to its five (date+k) landing
-  * dates, pivoted back to one row per landing date, and left-joined
-  * once on (symbol, exchange, date). `daily` is persisted so the
-  * universe aggregation of the fact table runs exactly once however
-  * many branches consume it (at 100 TB the alternative is six full
-  * fact-table scans).
+  * Scale plan: the five calendar lookbacks are NOT joins at all —
+  * `daily` is unique per (symbol, exchange, date) (it comes off a
+  * groupBy at exactly that grain), so "the price exactly d days ago,
+  * NULL if no bar" is a single-point RANGE frame
+  * `rangeBetween(-d, -d)` over the same (symbol, exchange) ORDER BY
+  * day-number spec the rolling stats already use. All lookbacks and
+  * rolling frames collapse into one WindowExec over one sort: no
+  * explode, no landings aggregate, no self-join, no persist — the
+  * fact-table aggregation streams through a single window pass.
+  * (Earlier rounds used explode→pivot→equi-join; the window form is
+  * bit-identical under the unique-grain invariant, which
+  * q_test_upstream_market_grain_duplicates gates.)
   */
 object MarketAnalysisReturn {
 
@@ -39,38 +44,25 @@ object MarketAnalysisReturn {
     Seq(365 -> "1yr", 270 -> "9mo", 180 -> "6mo", 90 -> "3mo", 30 -> "1mo")
 
   /** `uni` columns: symbol, exchange, date, close, high, low, volume,
-    * adj_close, adj_high, adj_low, adj_volume.
-    *
-    * `daily` is persisted; callers run a terminal action and the
-    * session-level `spark.catalog.clearCache()` between queries (as
-    * Verify/Bench do) owns cleanup.
+    * adj_close, adj_high, adj_low, adj_volume. Single consuming pass —
+    * nothing persisted here.
     */
   def analysisReturn(uni: DataFrame): DataFrame = {
     val wLag = Window.partitionBy(col("symbol"), col("exchange")).orderBy(col("date"))
     val daily = uni
       .filter(col("adj_close").isNotNull)
       .withColumn("daily_diff", col("adj_close") - lag(col("adj_close"), 1).over(wLag))
-      .persist()
-    val offsets = Horizons.map(_._1)
-    val landings = daily
-      .select(col("symbol").as("__s"), col("exchange").as("__e"),
-        col("date").as("__from"), col("adj_close").as("__px"))
-      .withColumn("__off", explode(array(offsets.map(lit): _*)))
-      .groupBy(col("__s"), col("__e"),
-        date_add(col("__from"), col("__off")).as("__d"))
-      .agg(
-        max(when(col("__off") === offsets.head, col("__px"))).as(s"price_${offsets.head}d_ago"),
-        offsets.tail.map(d => max(when(col("__off") === d, col("__px"))).as(s"price_${d}d_ago")): _*)
-    val withLb = daily
-      .join(landings,
-        col("symbol") === col("__s") && col("exchange") === col("__e") &&
-          col("date") === col("__d"),
-        "left")
-      .drop("__s", "__e", "__d")
     def w(days: Int) = Window
       .partitionBy(col("symbol"), col("exchange"))
       .orderBy(epochDay(col("date")))
       .rangeBetween(-days, 0)
+    // the bar exactly `days` calendar days back — grain is unique per
+    // (symbol, exchange, date), so the single-point frame holds at
+    // most one row and max() is "that bar's price, or NULL"
+    def at(days: Int) = Window
+      .partitionBy(col("symbol"), col("exchange"))
+      .orderBy(epochDay(col("date")))
+      .rangeBetween(-days, -days)
     val dec5 = col("daily_diff").cast(DecimalType(18, 3))
     val horizonCols = Horizons.flatMap { case (d, tag) =>
       val n   = count(col("daily_diff")).over(w(d))
@@ -78,7 +70,7 @@ object MarketAnalysisReturn {
       val sx2 = sum(dec5 * dec5).over(w(d)).cast("double")
       val std = when(n > 1,
         sqrt(greatest((sx2 - sx * sx / n) / (n - 1), lit(0.0))))
-      val p   = col(s"price_${d}d_ago")
+      val p   = max(col("adj_close")).over(at(d))
       Seq(
         rsnap(max(col("adj_high")).over(w(d)), 4).as(s"high_$tag"),
         rsnap(min(col("adj_low")).over(w(d)), 4).as(s"low_$tag"),
@@ -86,7 +78,7 @@ object MarketAnalysisReturn {
         round(when(p.isNotNull && p > 0, (col("adj_close") - p) / p * 100), 2)
           .as(s"pct_change_$tag"))
     }
-    withLb.select(
+    daily.select(
       (Seq(col("symbol"), col("exchange"), col("date"),
         col("adj_close").as("current_price"),
         col("adj_high").as("current_high"),

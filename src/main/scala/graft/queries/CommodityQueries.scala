@@ -248,8 +248,8 @@ object CommodityQueries {
   // ------------------------------------------------------------------
 
   /** The analysis_return macro over (price, price, price): reuses the
-    * market template's persisted-daily + exploded-offset-join plan
-    * under renamed keys (commodity_unit rides the `exchange` slot). */
+    * market template's single-pass window-family plan under renamed
+    * keys (commodity_unit rides the `exchange` slot). */
   def commodityAnalysisReturn(stg: DataFrame): DataFrame = {
     val p = col("price")
     val uni = stg.select(

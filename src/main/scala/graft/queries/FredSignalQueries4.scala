@@ -180,8 +180,11 @@ object FredSignalQueries4 {
   }
 
   private def momentum(s: SparkSession, dir: String): DataFrame = {
+    // the SPY/ACWI/GOVT slices each re-run the window family over the
+    // persisted post-agg universe (tiny: symbols × dates) — one fact
+    // scan total, matching the pre-round-5 internal-daily-persist plan
     val ar = MarketAnalysisReturn.analysisReturn(
-      MarketAnalysisQueries.universe(s, dir, taaBucket, "MIX"))
+      MarketAnalysisQueries.universe(s, dir, taaBucket, "MIX").persist())
     val spy = ar.filter(col("symbol") === "SPY")
       .select(col("date").as("spy_d"), col("pct_change_1mo"), col("pct_change_3mo"),
         col("pct_change_6mo"), col("pct_change_1yr"))

@@ -92,13 +92,16 @@ object MarketsQueries2 {
     // ONE analysisReturn over the three universes (distinct exchanges
     // keep the window partitions independent); every consumer below —
     // daily returns, correlations, latest performance — slices this
-    // shared run, so the universe aggregation happens once, not six
-    // times (the internal `daily` persist carries it).
-    val arAll = MarketAnalysisReturn.analysisReturn(
-      Seq(MarketAnalysisQueries.universe(s, dir, factorBucket, "FACT"),
+    // shared run. The post-aggregation universe frame (symbols × dates,
+    // tiny) is persisted so the fact-table scan+agg runs once however
+    // many consumers slice the result (analysisReturn itself is a pure
+    // single-pass window family since the round-5 lookback rewrite).
+    val uniAll = Seq(MarketAnalysisQueries.universe(s, dir, factorBucket, "FACT"),
         MarketAnalysisQueries.universe(s, dir, AnalysisQueries4.etfBucket, "NYSEARCA"),
         MarketAnalysisQueries.universe(s, dir, idxBucket, "INDEX"))
-        .reduce(_ unionByName _))
+      .reduce(_ unionByName _)
+      .persist()
+    val arAll = MarketAnalysisReturn.analysisReturn(uniAll)
 
     def dailyReturns(exchanges: Seq[String], symCol: String, retCol: String): DataFrame = {
       val w = Window.partitionBy(col("symbol"), col("exchange")).orderBy(col("date"))

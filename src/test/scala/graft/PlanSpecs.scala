@@ -82,6 +82,19 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "unused horizon columns must be pruned from the shared window family")
   }
 
+  test("analysis_return is a single-pass window family (no lookback join)") {
+    // round-5 rewrite: the five exact-calendar lookbacks are
+    // single-point RANGE frames riding the rolling-stats sort, not an
+    // explode→pivot→self-join. A Join reappearing here means the
+    // lookbacks regressed to the shuffling shape; the only exchanges
+    // are the universe groupBy and the window repartition.
+    val plan = executedPlan("q_us_sector_analysis_return")
+    assert(!plan.contains("Join"), "analysis_return must not join for lookbacks")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"analysis_return should shuffle only groupBy + window partition; saw $exchanges")
+  }
+
   test("data tests keep the single-scan shape (no join in the generic tests)") {
     val plan = executedPlan("q_test_ohlc_consistency")
     assert(!plan.contains("Join"), "a generic dbt test is one scan + filter")
