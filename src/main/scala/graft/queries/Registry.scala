@@ -26,7 +26,8 @@ object Registry {
       SemanticLayerQueries.defs ++ MarketSignalsQueries.defs ++
       StagingMarketQueries.defs ++ FomcStagingQueries.defs ++
       DataTestQueries.defs ++ DocumentExtractionQueries.defs ++
-      DataDictionaryQueries.defs ++ StreamingQueries.defs ++ AlertQueries.defs
+      DataDictionaryQueries.defs ++ StreamingQueries.defs ++ AlertQueries.defs ++
+      CurationQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
