@@ -149,4 +149,27 @@ object CurationOps {
         (expr(s"(end_tok - 1) div $seqLen") -
           expr(s"(end_tok - n_tokens) div $seqLen") + 1).as("chunks_spanned"))
   }
+
+  /** Deterministic per-key document cap (the per-domain cap a web
+    * corpus applies so no single domain dominates the mix): rank each
+    * key's documents by a salted md5 of (key, id) — uniform,
+    * reproducible, independent of input order — and keep the first
+    * `cap`. Which documents survive is a fair random-looking draw yet
+    * byte-stable across runs and engines.
+    *
+    * Scale: one hash-partitioned window per key — the same shuffle a
+    * per-domain count already pays. A pathologically hot key (one
+    * domain with billions of pages) serializes its rank into one
+    * task; there, pre-thin with a hash-prefix bound (keep only rows
+    * whose md5 sorts under ~cap·safety/|key| quantile) before
+    * ranking, or route through [[SkewOps]] — the cap semantics
+    * compose, since the kept set is always the md5-smallest `cap`. */
+  def capPerKey(docs: DataFrame, idCol: String, keyCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val h = md5(concat(col(keyCol).cast("string"), lit("|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(h.asc, col(idCol).asc)
+    docs.select(col(idCol), col(keyCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("sample_rank") <= cap)
+  }
 }

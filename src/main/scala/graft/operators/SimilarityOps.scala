@@ -139,4 +139,25 @@ object SimilarityOps {
       .filter(col("cosine_sim") >= minSim)
       .distinct()
   }
+
+  /** Int8 max-abs embedding quantization (the symmetric per-vector
+    * scheme vector stores use to cut index storage 4×): scale =
+    * max|x|/127, q_i = round-half-up(x_i/scale) ∈ [-127, 127].
+    * Returns struct(scale DOUBLE, q ARRAY<INT>).
+    *
+    * Pure per-row map work — no shuffle, embarrassingly parallel at
+    * any corpus size. Cross-engine parity: the fold for max|x| uses
+    * exact IEEE max/abs; scale is ONE division; rounding is
+    * floor(x/scale + 0.5) (identical everywhere, unlike banker's/
+    * HALF_UP library rounds); so any engine replaying these ops emits
+    * bit-identical q vectors. All-zero vectors get scale 0 and an
+    * all-zero q. */
+  def int8Quantize(vec: Column): Column = {
+    val xd     = toDouble(vec)
+    val maxAbs = aggregate(xd, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val scale  = maxAbs / lit(127.0)
+    val q = transform(xd, x =>
+      when(lit(0.0) < scale, floor(x / scale + lit(0.5)).cast("int")).otherwise(lit(0)))
+    struct(scale.as("scale"), q.as("q"))
+  }
 }

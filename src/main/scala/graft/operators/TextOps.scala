@@ -279,4 +279,48 @@ object TextOps {
     * group on for fuzzy-exact dedup. */
   def normalizedFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  // ------------------------------------------------------------------
+  // Repetition signals (Gopher-style repetition filters,
+  // Rae et al. 2021 "Scaling Language Models" Table A1)
+  // ------------------------------------------------------------------
+
+  /** Per-distinct-gram (count, char-length) stats over a gram array.
+    * O(|distinct|·|grams|) per ROW — bounded by document length, zero
+    * shuffle; at 100 TB this is embarrassingly parallel map work. */
+  private def occStats(grams: Column): Column =
+    transform(array_distinct(grams), g =>
+      struct(
+        size(filter(grams, x => x === g)).cast("long").as("c"),
+        length(g).cast("long").as("l")))
+
+  /** Characters covered by the single most frequent gram:
+    * max over distinct g of count(g)·len(g). All integer arithmetic —
+    * exact in any engine. */
+  def topGramChars(grams: Column): Column =
+    aggregate(occStats(grams), lit(0L),
+      (a, s) => greatest(a, s.getField("c") * s.getField("l")))
+
+  /** Characters inside grams occurring at least twice:
+    * Σ over distinct g with count(g) ≥ 2 of count(g)·len(g). */
+  def dupGramChars(grams: Column): Column =
+    aggregate(occStats(grams), lit(0L),
+      (a, s) => a + when(s.getField("c") >= 2, s.getField("c") * s.getField("l"))
+        .otherwise(lit(0L)))
+
+  /** Total characters across all gram occurrences (the fraction
+    * denominator Gopher uses). */
+  def allGramChars(grams: Column): Column =
+    aggregate(grams, lit(0L), (a, g) => a + length(g).cast("long"))
+
+  /** Fixed-width pseudo-lines: consecutive `lineLen`-token groups
+    * joined by single spaces. The documents fixture carries no real
+    * newlines, so the line-based Gopher signals (duplicate-line
+    * fraction) run over this deterministic segmentation; on a real
+    * corpus pass `split(text, "\n")` instead. */
+  def tokenLines(toks: Column, lineLen: Int): Column =
+    when(size(toks) > 0,
+      transform(sequence(lit(0), ((size(toks) - 1) / lineLen).cast("int")),
+        i => concat_ws(" ", slice(toks, i * lineLen + 1, lit(lineLen)))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, SimilarityOps, TextOps}
 import graft.runtime.Tables
 import graft.queries.QueryDef.r4
 
@@ -30,6 +30,57 @@ object TextQueries {
              text
       FROM documents
     )"""
+
+  /** Shared recursive-CTE chain mirroring nearDupPairs(shingleN=3,
+    * numSigs=4, rowsPerBand=4, minJaccard=0.2) + connectedComponents:
+    * ends at `mapped(doc_id, cluster_id)` — the full-corpus cluster
+    * assignment (singletons map to themselves). Used by
+    * q_neardup_clusters and q_neardup_dedup_corpus. */
+  private val neardupMappedCtes = s"""$tokSql,
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3
+        ),
+        sig AS (
+          SELECT doc_id, s,
+            list_min(list_transform(s, x -> substr(md5(x), 1, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 9, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 17, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS bucket
+          FROM sh
+        ),
+        mh AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.2
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mh
+          UNION SELECT id_b, id_a FROM mh
+        ),
+        reach(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        members AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        mapped AS (
+          SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN members m ON d.doc_id = m.node
+        )"""
+
+  /** DuckDB mirror of [[TextOps.qualityScore]] over `toks(t, text)` —
+    * shared by q_text_quality_stats and q_neardup_dedup_corpus. */
+  private val qualityScoreSql = """ROUND(((CASE WHEN len(text) BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN len(text) < 100 THEN len(text) / 100.0
+                       ELSE 0.5 END)
+               + (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE) ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN len(t) > 0
+                             THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t)
+                             ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 4)"""
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "generic" -> Seq("the", "a"),
@@ -158,14 +209,7 @@ object TextQueries {
           CAST(GREATEST(len(t), CAST(CEIL(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens,
           ROUND(CASE WHEN len(t) > 0
                 THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t) END, 4) + 0.0 AS avg_token_len,
-          ROUND(((CASE WHEN len(text) BETWEEN 100 AND 10000 THEN 1.0
-                       WHEN len(text) < 100 THEN len(text) / 100.0
-                       ELSE 0.5 END)
-               + (CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / CAST(len(t) AS DOUBLE) ELSE 0.0 END)
-               + (CASE WHEN (CASE WHEN len(t) > 0
-                             THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t)
-                             ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 4)
-            AS quality_score
+          $qualityScoreSql AS quality_score
         FROM toks
       """)
     ),
@@ -335,41 +379,7 @@ object TextQueries {
             (col("doc_id") === col("cluster_id")).cast("long"))
       },
       Some(s"""
-        WITH RECURSIVE $tokSql,
-        sh AS (
-          SELECT doc_id,
-            list_distinct(list_transform(range(1, len(t) - 1),
-              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-          FROM toks WHERE len(t) >= 3
-        ),
-        sig AS (
-          SELECT doc_id, s,
-            list_min(list_transform(s, x -> substr(md5(x), 1, 8))) || '|' ||
-            list_min(list_transform(s, x -> substr(md5(x), 9, 8))) || '|' ||
-            list_min(list_transform(s, x -> substr(md5(x), 17, 8))) || '|' ||
-            list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS bucket
-          FROM sh
-        ),
-        mh AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-          WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-                / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.2
-        ),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM mh
-          UNION SELECT id_b, id_a FROM mh
-        ),
-        reach(node, lbl) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-        ),
-        members AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-        mapped AS (
-          SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
-          FROM documents d LEFT JOIN members m ON d.doc_id = m.node
-        )
+        WITH RECURSIVE $neardupMappedCtes
         SELECT doc_id, cluster_id,
           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
           CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_representative
@@ -596,6 +606,216 @@ object TextQueries {
         FROM sims WHERE cs >= 0.2
       """
       }
+    ),
+    // Gopher-style repetition signals (Rae et al. 2021 Table A1):
+    // top-{2,3,4}-gram char fraction, duplicate-5-gram char fraction,
+    // duplicate-line fraction + char fraction (lines = deterministic
+    // 8-token segments, the fixture has no newlines), and the composite
+    // repetition flag at the published thresholds (0.20/0.18/0.16/
+    // 0.15/0.30). All numerators/denominators are exact integer char
+    // counts; fractions go through the exact-decimal division pair and
+    // the flag compares integer cross-products — no float wobble.
+    QueryDef(
+      "q_repetition_signals",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val base = T(s, dir).documents
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        def grams(n: Int) =
+          when(size(col("t")) >= n, DedupOps.shinglesFromTokens(col("t"), n))
+            .otherwise(array().cast("array<string>"))
+        val g = base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          grams(2).as("g2"), grams(3).as("g3"), grams(4).as("g4"), grams(5).as("g5"),
+          TextOps.tokenLines(col("t"), 8).as("ln"))
+        val st = g.select(col("doc_id"), col("n_tokens"),
+          TextOps.topGramChars(col("g2")).as("top2"), TextOps.allGramChars(col("g2")).as("all2"),
+          TextOps.topGramChars(col("g3")).as("top3"), TextOps.allGramChars(col("g3")).as("all3"),
+          TextOps.topGramChars(col("g4")).as("top4"), TextOps.allGramChars(col("g4")).as("all4"),
+          TextOps.dupGramChars(col("g5")).as("dup5"), TextOps.allGramChars(col("g5")).as("all5"),
+          size(col("ln")).cast("long").as("nl"),
+          size(array_distinct(col("ln"))).cast("long").as("ndl"),
+          TextOps.dupGramChars(col("ln")).as("dupl"), TextOps.allGramChars(col("ln")).as("alll"))
+        def frac(num: Column, den: Column) =
+          when(den > 0, QueryDef.rdiv(num.cast(DecimalType(18, 0)), den, 4)).otherwise(lit(0.0))
+        st.select(col("doc_id"), col("n_tokens"),
+          frac(col("top2"), col("all2")).as("top_2gram_char_frac"),
+          frac(col("top3"), col("all3")).as("top_3gram_char_frac"),
+          frac(col("top4"), col("all4")).as("top_4gram_char_frac"),
+          frac(col("dup5"), col("all5")).as("dup_5gram_char_frac"),
+          frac(col("nl") - col("ndl"), col("nl")).as("dup_line_frac"),
+          frac(col("dupl"), col("alll")).as("dup_line_char_frac"),
+          ((col("top2") * 5 > col("all2")) ||
+            (col("top3") * 50 > col("all3") * 9) ||
+            (col("top4") * 25 > col("all4") * 4) ||
+            (col("dup5") * 20 > col("all5") * 3) ||
+            ((col("nl") - col("ndl")) * 10 > col("nl") * 3))
+            .cast("long").as("is_repetitive"))
+      },
+      Some {
+        def gramsSql(n: Int) = {
+          val cc = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+          s"CASE WHEN len(t) >= $n THEN list_transform(range(1, len(t) - ${n - 2}), i -> $cc) ELSE CAST([] AS VARCHAR[]) END"
+        }
+        val linesSql = "CASE WHEN len(t) > 0 THEN list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)), i -> array_to_string(list_slice(t, i*8+1, i*8+8), ' ')) ELSE CAST([] AS VARCHAR[]) END"
+        def topSql(g: String) =
+          s"CAST(COALESCE(list_max(list_transform(list_distinct($g), x -> len(list_filter($g, y -> y = x)) * len(x))), 0) AS BIGINT)"
+        def dupSql(g: String) =
+          s"CAST(COALESCE(list_sum(list_transform(list_distinct($g), x -> CASE WHEN len(list_filter($g, y -> y = x)) >= 2 THEN len(list_filter($g, y -> y = x)) * len(x) ELSE 0 END)), 0) AS BIGINT)"
+        def allSql(g: String) =
+          s"CAST(COALESCE(list_sum(list_transform($g, x -> len(x))), 0) AS BIGINT)"
+        def fracSql(num: String, den: String) =
+          s"CASE WHEN $den > 0 THEN ${QueryDef.oDivRound(s"CAST($num AS HUGEINT) * 1000000", den, 4)} ELSE 0.0 END"
+        s"""
+        WITH $tokSql,
+        g AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3,
+            ${gramsSql(4)} AS g4, ${gramsSql(5)} AS g5,
+            $linesSql AS ln
+          FROM toks
+        ),
+        st AS (
+          SELECT doc_id, n_tokens,
+            ${topSql("g2")} AS top2, ${allSql("g2")} AS all2,
+            ${topSql("g3")} AS top3, ${allSql("g3")} AS all3,
+            ${topSql("g4")} AS top4, ${allSql("g4")} AS all4,
+            ${dupSql("g5")} AS dup5, ${allSql("g5")} AS all5,
+            CAST(len(ln) AS BIGINT) AS nl,
+            CAST(len(list_distinct(ln)) AS BIGINT) AS ndl,
+            ${dupSql("ln")} AS dupl, ${allSql("ln")} AS alll
+          FROM g
+        )
+        SELECT doc_id, n_tokens,
+          ${fracSql("top2", "all2")} AS top_2gram_char_frac,
+          ${fracSql("top3", "all3")} AS top_3gram_char_frac,
+          ${fracSql("top4", "all4")} AS top_4gram_char_frac,
+          ${fracSql("dup5", "all5")} AS dup_5gram_char_frac,
+          ${fracSql("nl - ndl", "nl")} AS dup_line_frac,
+          ${fracSql("dupl", "alll")} AS dup_line_char_frac,
+          CAST(CASE WHEN top2*5 > all2 OR top3*50 > all3*9 OR top4*25 > all4*4
+                     OR dup5*20 > all5*3 OR (nl-ndl)*10 > nl*3
+               THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        FROM st
+      """
+      }
+    ),
+    // Deterministic per-source document cap (per-domain cap idiom):
+    // salted-hash rank inside each source, keep the md5-smallest 15.
+    QueryDef(
+      "q_source_cap_sampling",
+      (s, dir) =>
+        CurationOps.capPerKey(T(s, dir).documents, "doc_id", "source", cap = 15),
+      Some("""
+        SELECT doc_id, source, sample_rank, sample_rank <= 15 AS kept
+        FROM (
+          SELECT doc_id, source,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+          FROM documents
+        )
+      """)
+    ),
+    // Int8 max-abs embedding quantization: per-vector scale, quantized
+    // checksum (pins the full q vector), reconstruction error, and the
+    // cosine between the original and dequantized vectors. scale and
+    // max_abs_err are raw doubles — every op in their derivation is a
+    // single exact IEEE operation (abs/max/one division/one multiply),
+    // so both engines emit identical bits; only the cosine (a fold)
+    // is rounded.
+    QueryDef(
+      "q_embedding_quantization",
+      (s, dir) => {
+        val e = T(s, dir).embeddings
+        e.select(col("vec_id"),
+            SimilarityOps.toDouble(col("embedding")).as("xd"),
+            SimilarityOps.int8Quantize(col("embedding")).as("qz"))
+          .select(col("vec_id"), col("xd"),
+            col("qz").getField("scale").as("scale"),
+            col("qz").getField("q").as("q"))
+          .withColumn("deq", transform(col("q"), v => v.cast("double") * col("scale")))
+          .select(
+            col("vec_id"),
+            col("scale"),
+            size(col("q")).cast("long").as("n_dims"),
+            aggregate(col("q"), lit(0L), (a, v) => a + v.cast("long")).as("q_checksum"),
+            aggregate(zip_with(col("xd"), col("deq"), (a, b) => abs(a - b)), lit(0.0),
+              (m, x) => greatest(m, x)).as("max_abs_err"),
+            r4(cosineSimilarity(col("xd"), col("deq"))).as("cosine_dequant"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd FROM embeddings
+        ),
+        sc AS (
+          SELECT vec_id, xd,
+            COALESCE(list_max(list_transform(xd, x -> abs(x))), 0.0) / 127.0 AS scale
+          FROM base
+        ),
+        qv AS (
+          SELECT vec_id, xd, scale,
+            list_transform(xd, x -> CASE WHEN 0.0 < scale THEN CAST(floor(x / scale + 0.5) AS INTEGER) ELSE 0 END) AS q
+          FROM sc
+        ),
+        dq AS (
+          SELECT vec_id, xd, scale, q,
+            list_transform(q, v -> CAST(v AS DOUBLE) * scale) AS deq
+          FROM qv
+        )
+        SELECT vec_id, scale,
+          CAST(len(q) AS BIGINT) AS n_dims,
+          CAST(COALESCE(list_sum(list_transform(q, v -> CAST(v AS BIGINT))), 0) AS BIGINT) AS q_checksum,
+          COALESCE(list_max(list_transform(range(1, len(xd)+1), i -> abs(xd[i] - deq[i]))), 0.0) AS max_abs_err,
+          ROUND(
+            list_sum(list_transform(range(1, len(xd)+1), i -> xd[i] * deq[i]))
+            / NULLIF(SQRT(list_sum(list_transform(xd, x -> x * x)))
+              * SQRT(list_sum(list_transform(deq, x -> x * x))), 0), 4) + 0.0 AS cosine_dequant
+        FROM dq
+      """)
+    ),
+    // End-to-end near-dup corpus dedup: cluster (MinHash LSH +
+    // connected components), score each doc, keep the best doc per
+    // cluster (quality desc, id asc tie-break) — the decision layer a
+    // dedup pipeline actually ships: which rows survive into training.
+    QueryDef(
+      "q_neardup_dedup_corpus",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, dir).documents
+        val pairs = DedupOps
+          .nearDupPairs(docs, "doc_id", "text",
+            shingleN = 3, numSigs = 4, rowsPerBand = 4, minJaccard = 0.2)
+          .select(col("id_a"), col("id_b"))
+        val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        val clustered = docs
+          .join(cc, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+            TextOps.qualityScore(col("text")).as("quality_score"),
+            TextOps.tokenCount(col("text")).as("n_tokens"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        clustered
+          .withColumn("keep_rank", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+            col("n_tokens"), col("keep_rank"), (col("keep_rank") === 1L).as("kept"))
+      },
+      Some(s"""
+        WITH RECURSIVE $neardupMappedCtes,
+        scored AS (
+          SELECT m.doc_id, m.cluster_id,
+            $qualityScoreSql AS quality_score,
+            CAST(len(t) AS BIGINT) AS n_tokens
+          FROM mapped m JOIN toks ON m.doc_id = toks.doc_id
+        )
+        SELECT doc_id, cluster_id, quality_score, n_tokens, keep_rank,
+          keep_rank = 1 AS kept
+        FROM (
+          SELECT doc_id, cluster_id, quality_score, n_tokens,
+            CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS keep_rank
+          FROM scored
+        )
+      """)
     )
   )
 }
