@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Mergeable summary sketches — the approximate-aggregation layer a
+  * 100 TB pipeline uses where exact distinct/total aggregation would
+  * shuffle the raw keys: build a bounded sketch per partition/group,
+  * ship ONLY the sketches, and merge them associatively at the next
+  * level. (Reference analogue: the reference delegates its distinct
+  * counting to its warehouse's APPROX_COUNT_DISTINCT; here the sketch
+  * is a first-class, engine-portable operator.)
+  *
+  * Both sketches below are DETERMINISTIC — randomness comes from md5
+  * of the value, not an RNG — so results are byte-stable across runs,
+  * partitionings, AND engines (the DuckDB oracle replays them
+  * exactly). That is a deliberate departure from library sketches
+  * (HLL++, DataSketches) whose hash/seed choices are
+  * implementation-private: at equal k the KMV estimator is modestly
+  * less space-efficient than HLL, but testable to the last bit.
+  *
+  * Cross-engine float parity: estimates are a SINGLE IEEE division of
+  * exactly-representable integers (then snap-rounded by callers), so
+  * any engine computes identical bits — same discipline as
+  * [[CurationOps]].
+  */
+object SketchOps {
+
+  /** Value of one lowercase-hex digit char: '0'..'9' → 0..9,
+    * 'a'..'f' → 10..15, via ascii arithmetic (portable to any SQL
+    * engine; stays inside whole-stage codegen). */
+  private def hexVal(ch: Column): Column = {
+    val a = ascii(ch)
+    (when(a <= 57, a - 48).otherwise(a - 87)).cast("long")
+  }
+
+  /** 32-bit uniform hash in [0, 2^32): positional fold of the first 8
+    * hex digits of md5(value). Engine-portable bit-for-bit — the only
+    * primitives are md5, substring, ascii, integer arithmetic. */
+  def hash32(c: Column): Column = {
+    val hex = md5(c.cast("string"))
+    (0 until 8)
+      .map(i => hexVal(substring(hex, i + 1, 1)) * lit(1L << (4 * (7 - i))))
+      .reduce(_ + _)
+  }
+
+  /** KMV (k minimum values) distinct-count sketch per group
+    * (Bar-Yossef et al. 2002; Beyer et al. 2007 §2): hash each
+    * distinct value to a 32-bit uniform, keep the k smallest hashes.
+    * Returns one row per group: `kmv` (sorted ASC, ≤ k hashes),
+    * `n_hashes`, and the estimate — exact `n` when the group holds
+    * fewer than k distinct values, else (k−1)·2³² / h_k.
+    *
+    * Scale: the groupBy(group, value) distinct is the same shuffle an
+    * exact COUNT(DISTINCT) pays; the win is everything DOWNSTREAM —
+    * per-group state is k longs forever after, and coarser rollups
+    * merge sketches ([[kmvMerge]]) instead of re-shuffling raw values.
+    * For repeated rollups over a stable corpus, persist the sketch
+    * table once and answer every level from it. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2 (estimator divides by h_k), got $k")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h").asc)
+    val hashed = df
+      .select(col(groupCol).as("__g"), hash32(col(valueCol)).as("__h"))
+      // distinct hashes per group — one partial-agg shuffle; two values
+      // colliding into one hash share a slot (classic KMV semantics,
+      // identical in any engine replaying the same hash)
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    hashed
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        sort_array(collect_list(col("__h"))).as("kmv"),
+        count(lit(1)).cast("long").as("n_hashes"),
+        max(when(col("__rk") === k, col("__h"))).as("__hk"))
+      .withColumn(
+        "est_distinct",
+        when(col("__hk").isNull, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toLong * 4294967296L).cast("double") / col("__hk")))
+      .drop("__hk")
+  }
+
+  /** Merge KMV sketches up one grouping level WITHOUT touching raw
+    * data: explode the k-arrays, re-take the k smallest distinct
+    * hashes per coarse group (KMV union is exactly "k smallest of the
+    * union"), re-estimate. Input shuffle is ≤ k rows per fine group —
+    * at 100 TB that is the difference between re-shuffling billions of
+    * keys and shuffling a few KB per group. */
+  def kmvMerge(sketches: DataFrame, coarseGroup: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("__g")).orderBy(col("__h").asc)
+    sketches
+      .select(col(coarseGroup).as("__g"), explode(col("kmv")).as("__h"))
+      .distinct() // same value sketched under two fine groups → one slot
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col("__g").as(coarseGroup))
+      .agg(
+        sort_array(collect_list(col("__h"))).as("kmv"),
+        count(lit(1)).cast("long").as("n_hashes"),
+        max(when(col("__rk") === k, col("__h"))).as("__hk"))
+      .withColumn(
+        "est_distinct",
+        when(col("__hk").isNull, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toLong * 4294967296L).cast("double") / col("__hk")))
+      .drop("__hk")
+  }
+
+  /** Priority sampling (Duffield, Lund, Thorup 2007): a weighted
+    * size-k sample per group whose Horvitz–Thompson estimator
+    * Σ max(w_i, τ) (τ = the (k+1)-th largest priority) is unbiased
+    * for the group's total weight with near-optimal variance. The
+    * canonical "which documents represent this source, and what do
+    * they weigh" primitive for training-mix accounting.
+    *
+    * priority_i = w_i / u_i with u_i = (hash32(id)+1)/2³² — u is a
+    * deterministic uniform in (0, 1], so the sample is reproducible
+    * across runs and engines. Weights must be positive integers
+    * (token counts); the estimate sums max(w_i, τ) in DECIMAL(28,6)
+    * so it is exact and order-independent.
+    *
+    * Scale: one hash-partitioned window per group (same shuffle as
+    * any per-group top-k); emitted state is k rows per group. */
+  def prioritySample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"prioritySample needs k >= 1, got $k")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__p").desc, col("__id").asc)
+    val u = (hash32(col("__id")) + 1L).cast("double") / lit(4294967296.0)
+    val ranked = df
+      .select(
+        col(groupCol).as("__g"),
+        col(idCol).as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__p", col("__w").cast("double") / u)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k + 1)
+    // τ rides the aggregate as the (k+1)-th priority (0 when the
+    // group has ≤ k rows — then the sample is the whole group and the
+    // estimator is exact). Sampled (id, w) pairs ride as a sorted
+    // struct array so the HT sum folds in a deterministic order.
+    ranked
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        coalesce(max(when(col("__rk") === k + 1, col("__p"))), lit(0.0)).as("tau"),
+        count(lit(1)).cast("long").as("n_ranked"),
+        sort_array(collect_list(when(col("__rk") <= k, struct(col("__id"), col("__w")))))
+          .as("__s"))
+      .select(
+        col(groupCol),
+        transform(col("__s"), s => s.getField("__id")).as("sample_ids"),
+        (col("n_ranked") <= k).as("is_exact"),
+        col("tau"),
+        aggregate(
+          col("__s"),
+          lit(0).cast(DecimalType(28, 6)),
+          (acc, s) =>
+            (acc + greatest(s.getField("__w").cast("double"), col("tau"))
+              .cast(DecimalType(28, 6))).cast(DecimalType(28, 6)))
+          .cast("double").as("est_total_weight"))
+  }
+}

@@ -27,7 +27,7 @@ object Registry {
       StagingMarketQueries.defs ++ FomcStagingQueries.defs ++
       DataTestQueries.defs ++ DocumentExtractionQueries.defs ++
       DataDictionaryQueries.defs ++ StreamingQueries.defs ++ AlertQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ SketchQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SketchOps, TextOps}
+import graft.queries.QueryDef.rsnap
+import graft.runtime.Tables
+
+/** Mergeable-sketch queries ([[graft.operators.SketchOps]]): KMV
+  * distinct-count rollup and priority sampling. The 100 TB story these
+  * exercise end-to-end: aggregate once into bounded per-group sketches,
+  * answer every coarser rollup FROM THE SKETCHES — the raw keys are
+  * never re-shuffled. Deterministic md5-derived uniforms make both
+  * operators byte-stable across runs and engines, so unlike library
+  * HLL/reservoir implementations they are fully oracle-checkable.
+  */
+object SketchQueries {
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** DuckDB mirror of [[SketchOps.hash32]]: positional fold of the
+    * first 8 hex digits of md5 via ascii arithmetic. */
+  private def oHash32(e: String): String =
+    (0 until 8).map { i =>
+      val d = s"ascii(substr(md5($e), ${i + 1}, 1))"
+      s"CAST(CASE WHEN $d <= 57 THEN $d - 48 ELSE $d - 87 END AS BIGINT) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
+  private val K = 64
+
+  val defs: Seq[QueryDef] = Seq(
+    // KMV distinct-customer rollup: monthly sketches of distinct
+    // ordering customers, merged to years WITHOUT touching raw orders
+    // again (the year estimate is derived purely from the <= 64-hash
+    // monthly sketches), compared against the exact per-year distinct.
+    // est/rel_err are single IEEE divisions of exactly-representable
+    // integers (h_k < 2^32, exact counts < 2^31), so every engine
+    // computes identical bits; outputs are additionally snap-rounded.
+    QueryDef(
+      "q_kmv_distinct_rollup",
+      (s, dir) => {
+        val orders = T(s, dir).orders
+        val monthly = SketchOps.kmvSketch(
+          orders.select(
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            col("o_custkey")),
+          "month_start", "o_custkey", K)
+        val yearly = SketchOps.kmvMerge(
+          monthly.withColumn("yr", year(col("month_start")).cast("long")), "yr", K)
+        val exact = orders
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        yearly.join(exact, Seq("yr"))
+          .select(
+            col("yr").as("order_year"),
+            col("n_hashes"),
+            rsnap(col("est_distinct"), 4).as("est_distinct"),
+            col("exact_distinct"),
+            rsnap(
+              abs(col("est_distinct") - col("exact_distinct").cast("double")) /
+                col("exact_distinct"),
+              4).as("abs_rel_err"))
+      },
+      Some {
+        val h = oHash32("CAST(o_custkey AS VARCHAR)")
+        s"""
+        WITH mh AS (
+          SELECT DISTINCT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m, $h AS h
+          FROM orders
+        ),
+        monthly AS (
+          SELECT m, h FROM (
+            SELECT m, h, ROW_NUMBER() OVER (PARTITION BY m ORDER BY h) AS rk FROM mh
+          ) WHERE rk <= $K
+        ),
+        yh AS (
+          SELECT DISTINCT CAST(EXTRACT(YEAR FROM m) AS BIGINT) AS yr, h FROM monthly
+        ),
+        yranked AS (
+          SELECT yr, h, ROW_NUMBER() OVER (PARTITION BY yr ORDER BY h) AS rk FROM yh
+        ),
+        ysk AS (
+          SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+            MAX(CASE WHEN rk = $K THEN h END) AS hk
+          FROM yranked WHERE rk <= $K GROUP BY yr
+        ),
+        yest AS (
+          SELECT yr, n_hashes,
+            CASE WHEN hk IS NULL THEN CAST(n_hashes AS DOUBLE)
+                 ELSE CAST(${(K - 1).toLong * 4294967296L} AS DOUBLE) / hk END AS est
+          FROM ysk
+        ),
+        ex AS (
+          SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+          FROM orders GROUP BY 1
+        )
+        SELECT y.yr AS order_year, y.n_hashes,
+          ${QueryDef.oSnap("y.est", 4)} AS est_distinct,
+          ex.exact_distinct,
+          ${QueryDef.oSnap("ABS(y.est - CAST(ex.exact_distinct AS DOUBLE)) / ex.exact_distinct", 4)}
+            AS abs_rel_err
+        FROM yest y JOIN ex ON y.yr = ex.yr
+      """
+      }
+    ),
+    // Priority sampling (Duffield-Lund-Thorup) of documents per source,
+    // weighted by token count, with the unbiased Horvitz-Thompson
+    // total-tokens estimate from the 16-doc sample. u is an exact
+    // power-of-two-scaled uniform, so priorities are bit-identical
+    // cross-engine; the HT sum folds in DECIMAL(28,6) over the sorted
+    // sample (order-independent), and outputs are snap-rounded.
+    QueryDef(
+      "q_priority_sample_tokens",
+      (s, dir) => {
+        val docs = T(s, dir).documents
+          .select(col("source"), col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"))
+        val sampled = SketchOps.prioritySample(docs, "source", "doc_id", "n_tokens", k = 16)
+        val exact = docs.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).cast("long").as("exact_total_tokens"),
+            count(lit(1)).cast("long").as("n_docs"))
+        sampled.join(exact, Seq("source"))
+          .select(
+            col("source"),
+            col("n_docs"),
+            array_join(transform(col("sample_ids"), _.cast("string")), ",").as("sample_ids"),
+            col("is_exact"),
+            rsnap(col("tau"), 4).as("tau"),
+            rsnap(col("est_total_weight"), 4).as("est_total_tokens"),
+            col("exact_total_tokens"),
+            rsnap(
+              abs(col("est_total_weight") - col("exact_total_tokens").cast("double")) /
+                col("exact_total_tokens"),
+              4).as("abs_rel_err"))
+      },
+      Some {
+        val h = oHash32("CAST(doc_id AS VARCHAR)")
+        s"""
+        WITH docs AS (
+          SELECT source, doc_id,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> len(x) > 0)) AS BIGINT) AS w
+          FROM documents
+        ),
+        pri AS (
+          SELECT source, doc_id, w,
+            CAST(w AS DOUBLE) / ((CAST($h AS DOUBLE) + 1) / 4294967296.0) AS p
+          FROM docs
+        ),
+        ranked AS (
+          SELECT source, doc_id, w, p,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY p DESC, doc_id ASC) AS rk
+          FROM pri
+        ),
+        topk AS (SELECT * FROM ranked WHERE rk <= 17),
+        agg AS (
+          SELECT source,
+            COALESCE(MAX(CASE WHEN rk = 17 THEN p END), 0.0) AS tau,
+            COUNT(*) AS n_ranked,
+            ARRAY_TO_STRING(LIST(CAST(doc_id AS VARCHAR) ORDER BY doc_id)
+              FILTER (WHERE rk <= 16), ',') AS sample_ids
+          FROM topk GROUP BY source
+        ),
+        est AS (
+          SELECT a.source, a.tau, a.n_ranked, a.sample_ids,
+            CAST((SELECT SUM(CAST(GREATEST(CAST(t.w AS DOUBLE), a.tau) AS DECIMAL(28,6)))
+                  FROM topk t WHERE t.source = a.source AND t.rk <= 16) AS DOUBLE) AS est_total
+          FROM agg a
+        ),
+        ex AS (
+          SELECT source, CAST(SUM(w) AS BIGINT) AS exact_total_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM docs GROUP BY source
+        )
+        SELECT e.source, ex.n_docs, e.sample_ids,
+          e.n_ranked <= 16 AS is_exact,
+          ${QueryDef.oSnap("e.tau", 4)} AS tau,
+          ${QueryDef.oSnap("e.est_total", 4)} AS est_total_tokens,
+          ex.exact_total_tokens,
+          ${QueryDef.oSnap(
+            "ABS(e.est_total - CAST(ex.exact_total_tokens AS DOUBLE)) / ex.exact_total_tokens", 4)}
+            AS abs_rel_err
+        FROM est e JOIN ex ON e.source = ex.source
+      """
+      }
+    )
+  )
+}

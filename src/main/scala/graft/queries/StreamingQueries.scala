@@ -134,6 +134,30 @@ object StreamingQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total
         FROM lineitem GROUP BY 1
       """)
+    ),
+    // Streaming exact dedup through the state store: dropDuplicates on
+    // a projected key set — the streaming half of the exact-dedup
+    // operator (DedupOps digest groupBy is the batch half). The keyed
+    // dedup state is partitioned by key hash, so at scale state is
+    // sharded across executors, not driver-resident; production
+    // bounds it with dropDuplicatesWithinWatermark (not used here —
+    // the batch oracle would then depend on event-time arrival order).
+    // Deduping a PROJECTION (not first-row-per-key) keeps the result
+    // order-independent and equal to batch DISTINCT.
+    QueryDef(
+      "q_stream_dedup_keys",
+      (s, dir) => {
+        val dedup = stream(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderstatus"),
+            year(col("o_orderdate")).cast("long").as("order_year"))
+          .dropDuplicates("o_orderpriority", "o_orderstatus", "order_year")
+        runToTable("stream_dedup_keys", dedup, "append")
+      },
+      Some("""
+        SELECT DISTINCT o_orderpriority, o_orderstatus,
+          CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year
+        FROM orders
+      """)
     )
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SketchOps
+
+/** KMV distinct sketch + priority sampling: hash portability, the
+  * exact union-merge property, estimator accuracy, determinism under
+  * repartitioning. */
+class SketchSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("sketch-specs")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("hash32 equals an independent JVM md5 fold") {
+    import spark.implicits._
+    def ref(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vals = Seq("42", "hello", "", "a b c", "9999999")
+    val got = vals.toDF("v").select(col("v"), SketchOps.hash32(col("v")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) == ref(v), s"hash32($v)"))
+  }
+
+  test("kmvSketch: below-k group is exact; estimator lands near truth above k") {
+    import spark.implicits._
+    val rows = (1 to 30).map(i => ("small", s"v$i")) ++
+      (1 to 5000).map(i => ("big", s"v${i % 2000}")) // 2000 distinct
+    val sk = SketchOps.kmvSketch(rows.toDF("g", "v"), "g", "v", k = 64)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_hashes"), r.getAs[Double]("est_distinct"))).toMap
+    assert(sk("small")._1 == 30L && sk("small")._2 == 30.0)
+    val est = sk("big")._2
+    assert(sk("big")._1 == 64L)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.35, s"est=$est") // k=64 → ~12% σ
+  }
+
+  test("kmvMerge over fine sketches == direct sketch of the coarse group") {
+    import spark.implicits._
+    val rows = for (n <- 1 to 6; i <- 1 to 400)
+      yield (s"nation_$n", s"region_${n % 2}", s"cust_${(i * n) % 900}")
+    val df = rows.toDF("nation", "region", "cust")
+    val fine = SketchOps.kmvSketch(df.select(col("nation"), col("cust")), "nation", "cust", 32)
+      .join(df.select("nation", "region").distinct(), "nation")
+    val merged = SketchOps.kmvMerge(fine, "region", 32)
+      .select(col("region"), col("kmv"), col("est_distinct"))
+    val direct = SketchOps.kmvSketch(df.select(col("region"), col("cust")), "region", "cust", 32)
+      .select(col("region"), col("kmv").as("kmv_d"), col("est_distinct").as("est_d"))
+    val both = merged.join(direct, "region").collect()
+    assert(both.length == 2)
+    both.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("kmv")) == r.getSeq[Long](r.fieldIndex("kmv_d")),
+        s"sketch arrays differ for ${r.getAs[String]("region")}")
+      assert(r.getAs[Double]("est_distinct") == r.getAs[Double]("est_d"))
+    }
+  }
+
+  test("prioritySample: small group exact, big group unbiased-ish, deterministic") {
+    import spark.implicits._
+    val rows = (1 to 10).map(i => ("tiny", i.toLong, (i * 10).toLong)) ++
+      (1 to 2000).map(i => ("large", (1000 + i).toLong, (i % 97 + 1).toLong))
+    val df = rows.toDF("src", "id", "w")
+    val out = SketchOps.prioritySample(df, "src", "id", "w", k = 16)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val tiny = out("tiny")
+    assert(tiny.getAs[Boolean]("is_exact"))
+    assert(tiny.getAs[Double]("tau") == 0.0)
+    assert(tiny.getAs[Double]("est_total_weight") == (1 to 10).map(_ * 10).sum.toDouble)
+    val large    = out("large")
+    val exact    = (1 to 2000).map(i => i % 97 + 1).sum.toDouble
+    val est      = large.getAs[Double]("est_total_weight")
+    assert(!large.getAs[Boolean]("is_exact"))
+    assert(large.getAs[Double]("tau") > 0.0)
+    assert(math.abs(est - exact) / exact < 0.6, s"est=$est exact=$exact")
+    // deterministic under repartition/reorder
+    val out2 = SketchOps.prioritySample(df.orderBy(col("id").desc).repartition(7),
+      "src", "id", "w", k = 16)
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("est_total_weight")).toMap
+    assert(out2("large") == est)
+  }
+}
