@@ -46,12 +46,20 @@ object CurationOps {
       shingleN: Int,
       minShared: Int,
       minBenchFrac: Double): DataFrame = {
+    // cache(): the shingle table fans out to the bench and train
+    // sides. Without the materialization boundary the optimizer pushes
+    // each side's filter through and re-inlines the tokenize+shingle
+    // lambda chain into both consumers (interpreted HOFs, O(tokens²)
+    // re-expansion — measured 8.7 s -> 0.5 s at sf0.1 when cached).
+    // Cache ownership follows DedupOps: the returned plan references
+    // the cached frame; Verify/Bench/CacheScope release it per query.
     val base = docs
       .select(col(idCol).as("__id"), isBench.as("__bench"),
         DedupOps.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= shingleN)
       .select(col("__id"), col("__bench"),
         array_distinct(DedupOps.shinglesFromTokens(col("__t"), shingleN)).as("__sh"))
+      .cache()
     val benchEx = base.filter(col("__bench"))
       .select(col("__id").as("bench_id"),
         size(col("__sh")).cast("long").as("bench_ngrams"),

@@ -113,6 +113,51 @@ object OlapQueries {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY ROLLUP(r.r_name, n.n_name)
       """)
+    ),
+    // Z-order layout audit ([[graft.operators.LayoutOps]]): Morton-
+    // interleave (customer, order-day) into 64 equal-width z bins and
+    // report the per-bin min/max spans a reader's file pruning would
+    // see — the write-side data-clustering half of predicate pushdown.
+    // All exact integer math (fixed-point ranks, bit interleave,
+    // floor-div binning), so the oracle replays it to the last bit.
+    QueryDef(
+      "q_zorder_layout_audit",
+      (s, dir) => {
+        import graft.functions.GraftFunctions.epochDay
+        val base = T(s, dir).orders
+          .select(col("o_custkey"), epochDay(col("o_orderdate")).as("order_day"))
+        graft.operators.LayoutOps.zorderAudit(base, "o_custkey", "order_day", 64)
+      },
+      Some {
+        def rank(x: String, lo: String, hi: String) =
+          s"CASE WHEN $hi > $lo THEN (($x - $lo) * 65535) // ($hi - $lo) ELSE 0 END"
+        val inter = (0 until 16).map { i =>
+          s"((ra >> $i) & 1) * ${1L << (2 * i + 1)} + ((rb >> $i) & 1) * ${1L << (2 * i)}"
+        }.mkString(" + ")
+        s"""
+        WITH src AS (
+          SELECT CAST(o_custkey AS BIGINT) AS a,
+            CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS b
+          FROM orders
+        ),
+        bounds AS (
+          SELECT MIN(a) AS amin, MAX(a) AS amax, MIN(b) AS bmin, MAX(b) AS bmax FROM src
+        ),
+        ranked AS (
+          SELECT a, b,
+            ${rank("a", "amin", "amax")} AS ra,
+            ${rank("b", "bmin", "bmax")} AS rb
+          FROM src, bounds
+        ),
+        z AS (SELECT a, b, CAST($inter AS BIGINT) AS zv FROM ranked)
+        SELECT (zv * 64) // 4294967296 AS bucket,
+          COUNT(*) AS n_rows,
+          MIN(a) AS o_custkey_min, MAX(a) AS o_custkey_max,
+          MIN(b) AS order_day_min, MAX(b) AS order_day_max,
+          MIN(zv) AS z_min, MAX(zv) AS z_max
+        FROM z GROUP BY 1
+      """
+      }
     )
   )
 }
