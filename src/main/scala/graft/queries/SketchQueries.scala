@@ -185,6 +185,108 @@ object SketchQueries {
         FROM est e JOIN ex ON e.source = ex.source
       """
       }
+    ),
+    // Cross-source content-overlap estimation from KMV sketches alone:
+    // per-source sketch of normalized document fingerprints, pairwise
+    // union-merge (k smallest of the concatenation — exact KMV union),
+    // inclusion-exclusion intersection estimate, Jaccard estimate,
+    // exact intersection alongside to grade it. The sketch path
+    // shuffles 20 sketch rows for 190 pairs; the exact path (dropped
+    // in production — SCALE.md §6) re-joins raw fingerprints.
+    QueryDef(
+      "q_kmv_source_overlap",
+      (s, dir) => {
+        val docs = T(s, dir).documents
+        val fp = TextOps.normalizedFingerprint(col("text"))
+        val sk = SketchOps.kmvSketch(
+          docs.select(col("source"), fp.as("fp")), "source", "fp", K)
+        val a = sk.select(col("source").as("source_a"), col("kmv").as("kmv_a"),
+          col("est_distinct").as("est_a"))
+        val b = sk.select(col("source").as("source_b"), col("kmv").as("kmv_b"),
+          col("est_distinct").as("est_b"))
+        val u = array_sort(array_union(col("kmv_a"), col("kmv_b")))
+        // guard the element_at: ANSI mode errors on out-of-bounds
+        val hk = when(size(u) >= K, element_at(u, lit(K)))
+        val estU = when(hk.isNull, size(u).cast("double"))
+          .otherwise(lit((K - 1).toLong * 4294967296L).cast("double") / hk)
+        val fps = docs.select(col("source"), fp.as("fp")).distinct()
+        val exact = fps.select(col("source").as("source_a"), col("fp"))
+          .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("exact_intersection"))
+        a.crossJoin(b).filter(col("source_a") < col("source_b"))
+          .withColumn("est_union", estU)
+          .withColumn("est_intersection",
+            greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+          .join(exact, Seq("source_a", "source_b"), "left")
+          .select(
+            col("source_a"), col("source_b"),
+            rsnap(col("est_a"), 4).as("est_a"),
+            rsnap(col("est_b"), 4).as("est_b"),
+            rsnap(col("est_union"), 4).as("est_union"),
+            rsnap(col("est_intersection"), 4).as("est_intersection"),
+            rsnap(
+              when(col("est_union") > 0, col("est_intersection") / col("est_union"))
+                .otherwise(lit(0.0)), 4).as("jaccard_est"),
+            coalesce(col("exact_intersection"), lit(0L)).cast("long").as("exact_intersection"))
+      },
+      Some {
+        val h = oHash32("fp")
+        s"""
+        WITH fps AS (
+          SELECT DISTINCT source,
+            md5(array_to_string(list_sort(list_distinct(
+              list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))), ' ')) AS fp
+          FROM documents
+        ),
+        hashed AS (SELECT DISTINCT source, $h AS h FROM fps),
+        ranked AS (
+          SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM hashed
+        ),
+        sk AS (
+          SELECT source, LIST(h ORDER BY h) AS kmv,
+            CAST(COUNT(*) AS BIGINT) AS n_hashes,
+            MAX(CASE WHEN rk = $K THEN h END) AS hk
+          FROM ranked WHERE rk <= $K GROUP BY source
+        ),
+        est AS (
+          SELECT source, kmv,
+            CASE WHEN hk IS NULL THEN CAST(n_hashes AS DOUBLE)
+                 ELSE CAST(${(K - 1).toLong * 4294967296L} AS DOUBLE) / hk END AS est_d
+          FROM sk
+        ),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+            a.est_d AS est_a, b.est_d AS est_b,
+            list_sort(list_distinct(list_concat(a.kmv, b.kmv))) AS u
+          FROM est a, est b WHERE a.source < b.source
+        ),
+        uest AS (
+          SELECT source_a, source_b, est_a, est_b,
+            CASE WHEN len(u) < $K THEN CAST(len(u) AS DOUBLE)
+                 ELSE CAST(${(K - 1).toLong * 4294967296L} AS DOUBLE) / u[$K] END AS est_union
+          FROM pairs
+        ),
+        ex AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+            CAST(COUNT(*) AS BIGINT) AS exact_intersection
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT u.source_a, u.source_b,
+          ${QueryDef.oSnap("u.est_a", 4)} AS est_a,
+          ${QueryDef.oSnap("u.est_b", 4)} AS est_b,
+          ${QueryDef.oSnap("u.est_union", 4)} AS est_union,
+          ${QueryDef.oSnap("GREATEST(u.est_a + u.est_b - u.est_union, 0.0)", 4)}
+            AS est_intersection,
+          ${QueryDef.oSnap(
+            "CASE WHEN u.est_union > 0 THEN GREATEST(u.est_a + u.est_b - u.est_union, 0.0) / u.est_union ELSE 0.0 END", 4)}
+            AS jaccard_est,
+          COALESCE(ex.exact_intersection, 0) AS exact_intersection
+        FROM uest u LEFT JOIN ex USING (source_a, source_b)
+      """
+      }
     )
   )
 }

@@ -158,6 +158,64 @@ object StreamingQueries {
           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year
         FROM orders
       """)
+    ),
+    // Streaming sessionization through the keyed state store
+    // (StreamingIngest.statefulSessionize): inactivity-gap sessions
+    // maintained in flatMapGroupsWithState, closed sessions emitted as
+    // they close, the open one flagged — under AvailableNow the output
+    // equals batch gaps-and-islands exactly (same oracle family as
+    // q_sessionize_events, which uses the NATIVE session_window; this
+    // exercises the custom-state path). Value totals accumulate as
+    // exact scaled longs inside the state fold.
+    QueryDef(
+      "q_stream_sessionize",
+      (s, dir) => {
+        // events.parquet is TIMESTAMP(NANOS): mirror Tables.events
+        // (nanos-as-long + rebuild micros) for the stream read.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val src = stream(s, dir, "events")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sessions = StreamingIngest
+          .statefulSessionize(src, "user_id", "ts", "value", gapSeconds = 1800)
+          .toDF("user_id", "start_us", "end_us", "n_events", "v_u6", "is_open")
+        runToTable("stream_sessionize", sessions, "append")
+          .select(
+            col("user_id"),
+            timestamp_micros(col("start_us")).as("session_start"),
+            timestamp_micros(col("end_us")).as("session_end"),
+            col("n_events"),
+            (col("v_u6").cast(DecimalType(24, 6)) / 1000000).cast("double").as("total_value"),
+            col("is_open"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+        ),
+        marked AS (
+          SELECT *,
+            CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                      >= 1800000000 OR
+                 LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+          FROM e
+        ),
+        sess AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, session_idx,
+            make_timestamp(MIN(us)) AS session_start,
+            make_timestamp(MAX(us)) AS session_end,
+            COUNT(*) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          FROM sess GROUP BY user_id, session_idx
+        )
+        SELECT user_id, session_start, session_end, n_events, total_value,
+          session_idx = MAX(session_idx) OVER (PARTITION BY user_id) AS is_open
+        FROM agg
+      """)
     )
   )
 }

@@ -71,6 +71,73 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming sessionization through the keyed state store: per-user
+    * inactivity-gap sessions via flatMapGroupsWithState. Each batch
+    * folds the user's events (sorted by event time within the batch)
+    * into the open session carried in state; sessions closed by a gap
+    * emit with `is_open = false`, and the still-open session emits
+    * `is_open = true` while also staying in state. Under an
+    * AvailableNow run (one micro-batch sees everything) the output is
+    * therefore EXACTLY the batch gaps-and-islands answer, with the
+    * user's final session flagged open. A genuinely unbounded
+    * deployment would suppress the open-session emission and close by
+    * event-time timeout instead (the open row would re-emit each
+    * batch under append mode).
+    *
+    * Scale: state is one (start, end, n, total) tuple per ACTIVE user
+    * — sharded by key hash across executors, independent of history
+    * length. Timestamps fold as epoch micros (exact longs); the value
+    * total accumulates in scaled-long decimal micro-units so emission
+    * order can't wobble a double.
+    *
+    * Emits (user_id, session_start_us, session_end_us, n_events,
+    * total_value_u6, is_open). */
+  def statefulSessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      gapSeconds: Long
+  ): org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .selectExpr(
+        s"CAST($userCol AS BIGINT) AS u",
+        s"unix_micros($tsCol) AS ts_us",
+        // scaled-long micro-units: exact integer accumulation
+        s"CAST(ROUND(CAST($valueCol AS DECIMAL(18,6)) * 1000000, 0) AS BIGINT) AS v_u6")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long, Long, Boolean)](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case (user, rows, state: GroupState[(Long, Long, Long, Long)]) =>
+        // state: (session_start_us, last_ts_us, n_events, total_v_u6)
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        val out    = Seq.newBuilder[(Long, Long, Long, Long, Long, Boolean)]
+        var open   = state.getOption
+        sorted.foreach { case (_, ts, v) =>
+          open match {
+            case Some((st, last, n, tot)) if ts - last < gapUs =>
+              open = Some((st, ts, n + 1, tot + v))
+            case Some((st, last, n, tot)) =>
+              out += ((user, st, last, n, tot, false))
+              open = Some((ts, ts, 1L, v))
+            case None =>
+              open = Some((ts, ts, 1L, v))
+          }
+        }
+        open.foreach { case (st, last, n, tot) =>
+          state.update((st, last, n, tot))
+          out += ((user, st, last, n, tot, true))
+        }
+        out.result().iterator
+      }
+  }
+
   /** Ingest->merge: each micro-batch is MERGE-upserted into the target
     * parquet by key (idempotent under redelivery — the reference's
     * upsert-on-rerun semantics). Runs to completion with
