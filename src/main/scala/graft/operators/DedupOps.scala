@@ -294,6 +294,53 @@ object DedupOps {
     bits.reduce(_ + _)
   }
 
+  /** SimHash near-duplicate pairs by banded bucketing: split the
+    * 16-bit simhash into 4 bands of 4 bits; docs sharing ANY band are
+    * candidates; verify Hamming distance via bit_count(xor). By
+    * pigeonhole, hamming ≤ 3 corrupts at most 3 of the 4 bands, so
+    * recall is EXACT (1.0) for `maxHamming` ≤ 3 — no LSH probability
+    * involved, unlike MinHash banding.
+    *
+    * Scale note: with the 16-bit engine-portable fixture hash a band
+    * is 4 bits (16 buckets — fine at test scale, quadratic at corpus
+    * scale). Production swaps in a 64-bit simhash with 4×16-bit bands
+    * (65 536 buckets/band, the standard Google-crawl parameters); the
+    * plan shape — explode 4 band rows/doc, hash-join per band,
+    * distinct, integer verify — is identical, and the verify is pure
+    * codegen'd bit arithmetic either way. */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band scheme guarantees full recall only for maxHamming <= 3, got $maxHamming")
+    // cache: the simhash fans out to the band explode and both verify
+    // sides (same boundary rationale as contaminationPairs).
+    val sh = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"), simhash16(col("__t")).cast("long").as("__sh"))
+      .cache()
+    val bands = sh.select(
+      col("__id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("__sh"), 4 * b).bitwiseAND(lit(15L)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("__id"), col("bv.b").as("__b"), col("bv.v").as("__v"))
+    val cand = bands.select(col("__b"), col("__v"), col("__id").as("id_a"))
+      .join(bands.select(col("__b"), col("__v"), col("__id").as("id_b")), Seq("__b", "__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected pair list — the step
     * that turns near-duplicate PAIRS into duplicate CLUSTERS (pick a
     * canonical doc per component, drop the rest).

@@ -484,6 +484,46 @@ object TextQueries {
       """
       }
     ),
+    // SimHash banded near-dup pairs (DedupOps.simhashNearDupPairs):
+    // 4×4-bit band bucketing with EXACT recall for hamming <= 2
+    // (pigeonhole — no LSH probability), verified by bit_count(xor).
+    QueryDef(
+      "q_simhash_neardup_pairs",
+      (s, dir) =>
+        DedupOps.simhashNearDupPairs(T(s, dir).documents, "doc_id", "text", maxHamming = 2),
+      Some {
+        val votes = (0 until 16)
+          .map { j =>
+            s"""list_sum(list_transform(t, x -> CASE WHEN substr(md5(x), ${j + 1}, 1)
+             IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) AS v$j"""
+          }
+          .mkString(",\n          ")
+        val bits = (0 until 16)
+          .map(j => s"(CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH $tokSql,
+        votes AS (
+          SELECT doc_id, $votes FROM toks
+        ),
+        sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS s FROM votes),
+        bands AS (
+          SELECT doc_id, s, b, (s >> (4 * b)) & 15 AS v
+          FROM sh, UNNEST([0, 1, 2, 3]) AS t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+          CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sh sa ON c.id_a = sa.doc_id
+        JOIN sh sb ON c.id_b = sb.doc_id
+        WHERE bit_count(xor(sa.s, sb.s)) <= 2
+      """
+      }
+    ),
     // Thread-structure metrics (reddit_thread_structure.sql: parent_id
     // prefix 't3_' = top-level, depth, reply chains): orders as posts,
     // lineitems as a comment chain ordered by (linenumber, partkey,
@@ -561,6 +601,67 @@ object TextQueries {
         SELECT vec_id, ROUND(cs, 4) + 0.0 AS cosine_sim
         FROM sims
         ORDER BY ROUND(cs, 4) DESC, vec_id ASC
+        LIMIT 10
+      """)
+    ),
+    // Int8-quantized ANN top-k: search over int8Quantize vectors.
+    // The per-vector scale CANCELS in the cosine, so the whole score
+    // is integer dot products (exact in any engine) + two correctly-
+    // rounded sqrts + one multiply + one divide — bit-identical
+    // cross-engine. The 4x-smaller vectors are the point at 100 TB:
+    // the scan reads a quarter of the bytes and the dot is int
+    // arithmetic (SIMD-friendly), at a bounded recall cost vs float
+    // (both top-k lists are oracle-checked here).
+    QueryDef(
+      "q_ann_int8_topk",
+      (s, dir) => {
+        val e = T(s, dir).embeddings
+        val qz = e.select(col("vec_id"),
+          SimilarityOps.int8Quantize(col("embedding")).getField("q").as("q"))
+        val query = qz.filter(col("vec_id") === 0).select(col("q").as("qq"))
+        val dot = aggregate(zip_with(col("q"), col("qq"), (a, b) => a.cast("long") * b),
+          lit(0L), _ + _)
+        val na = aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long") * x)
+        val nb = aggregate(col("qq"), lit(0L), (acc, x) => acc + x.cast("long") * x)
+        val cos = when(na > 0 && nb > 0,
+          dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+          .otherwise(lit(0.0))
+        qz.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), QueryDef.rsnap(cos, 4).as("cosine_int8"))
+          .orderBy(col("cosine_int8").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd FROM embeddings
+        ),
+        sc AS (
+          SELECT vec_id, xd,
+            COALESCE(list_max(list_transform(xd, x -> abs(x))), 0.0) / 127.0 AS scale
+          FROM base
+        ),
+        qv AS (
+          SELECT vec_id,
+            list_transform(xd, x -> CASE WHEN 0.0 < scale
+              THEN CAST(floor(x / scale + 0.5) AS BIGINT) ELSE 0 END) AS q
+          FROM sc
+        ),
+        qq AS (SELECT q AS qq FROM qv WHERE vec_id = 0),
+        c AS (SELECT vec_id, q FROM qv WHERE vec_id <> 0),
+        sims AS (
+          SELECT vec_id,
+            CASE WHEN list_sum(list_transform(q, x -> x * x)) > 0
+                  AND list_sum(list_transform(qq, x -> x * x)) > 0
+              THEN CAST(list_sum(list_transform(range(1, len(q)+1), i -> q[i] * qq[i])) AS DOUBLE)
+                / (SQRT(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE))
+                   * SQRT(CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE)))
+              ELSE 0.0 END AS cs
+          FROM c, qq
+        )
+        SELECT vec_id, ${QueryDef.oSnap("cs", 4)} AS cosine_int8
+        FROM sims
+        ORDER BY 2 DESC, vec_id ASC
         LIMIT 10
       """)
     ),
