@@ -153,6 +153,80 @@ object DedupOps {
     bandedPairsVerified(shingled, signed, idCol, numSigs, rowsPerBand, minJaccard)
   }
 
+  /** (doc_id, bucket) band table. Flat STRING bucket key (band index
+    * prefix + banded signature slices). A struct-typed key with an id
+    * inequality residual can degenerate to BroadcastNestedLoopJoin; a
+    * single string column keeps the self-join a hash-partitioned equi
+    * join. The candidate join carries ids only — shingle arrays are
+    * re-attached by id AFTER the pair space is deduplicated, so the
+    * wide arrays never ride through the band shuffle. */
+  private def bandedBuckets(
+      signed: DataFrame,
+      idCol: String,
+      numSigs: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBands = numSigs / rowsPerBand
+    signed.select(
+      col(idCol).as("doc_id"),
+      explode(
+        array((0 until nBands).map { b =>
+          concat_ws(
+            "|",
+            lit(b.toString) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*
+          )
+        }: _*)
+      ).as("bucket"))
+  }
+
+  /** Incremental near-dup detection — the production dedup mode: a
+    * NEW batch (daily crawl increment) checked against the EXISTING
+    * corpus plus itself, without ever re-pairing old-vs-old. The
+    * new-side band table is batch-sized, so the candidate join cost
+    * scales with |batch| · bucket-hit-rate, not |corpus|²; at 100 TB
+    * the old side's (doc_id, bucket) band table and shingle table are
+    * the PERSISTED dedup index (append-only, maintained per batch),
+    * and this function's inline derivation of them is replaced by an
+    * index scan — the join shapes are identical.
+    *
+    * Emits (new_id, match_id, match_is_new, jaccard): every verified
+    * pair touching ≥1 new doc, new-new pairs once (smaller id as
+    * new_id). */
+  def incrementalNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNew: Column,
+      shingleN: Int,
+      numSigs: Int,
+      rowsPerBand: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    val flags    = df.select(col(idCol).as("doc_id"), isNew.as("__new"))
+    val shingled = shingleTable(df, idCol, textCol, shingleN).cache()
+    val signed   = minhashSigs(shingled, idCol, numSigs)
+    val banded   = bandedBuckets(signed, idCol, numSigs, rowsPerBand)
+      .join(flags, Seq("doc_id"))
+      .cache()
+    val a = banded.filter(col("__new"))
+      .select(col("doc_id").as("new_id"), col("bucket").as("bucket_a"))
+    val b = banded.select(col("doc_id").as("match_id"), col("bucket").as("bucket_b"),
+      col("__new").as("match_is_new"))
+    val candidates = a
+      .join(b,
+        col("bucket_a") === col("bucket_b") && col("new_id") =!= col("match_id") &&
+          (!col("match_is_new") || col("new_id") < col("match_id")))
+      .select(col("new_id"), col("match_id"), col("match_is_new"))
+      .distinct()
+    val shA = shingled.select(col(idCol).as("new_id"), col("__sh").as("sh_a"))
+    val shB = shingled.select(col(idCol).as("match_id"), col("__sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("new_id"))
+      .join(shB, Seq("match_id"))
+      .select(col("new_id"), col("match_id"), col("match_is_new"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Shared LSH core: band the signatures, equi-join ids on the flat
     * string bucket key, dedup the pair space, then re-attach shingles
     * by id for the exact-Jaccard verify. */
@@ -164,27 +238,7 @@ object DedupOps {
       rowsPerBand: Int,
       minJaccard: Double
   ): DataFrame = {
-    val nBands = numSigs / rowsPerBand
-    // Flat STRING bucket key (band index prefix + banded signature
-    // slices). A struct-typed key with an id inequality residual can
-    // degenerate to BroadcastNestedLoopJoin; a single string column
-    // keeps the self-join a hash-partitioned equi join. The candidate
-    // join carries ids only — shingle arrays are re-attached by id
-    // AFTER the pair space is deduplicated, so the wide arrays never
-    // ride through the band shuffle.
-    val banded = signed
-      .select(
-        col(idCol).as("doc_id"),
-        explode(
-          array((0 until nBands).map { b =>
-            concat_ws(
-              "|",
-              lit(b.toString) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*
-            )
-          }: _*)
-        ).as("bucket")
-      )
-      .cache()
+    val banded = bandedBuckets(signed, idCol, numSigs, rowsPerBand).cache()
     // Rename columns per side: joining a self-derived column by
     // reference degenerates to a trivially-true predicate (cross join).
     val a = banded.select(col("doc_id").as("id_a"), col("bucket").as("bucket_a"))

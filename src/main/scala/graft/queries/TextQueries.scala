@@ -315,6 +315,52 @@ object TextQueries {
               / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) >= 0.2
       """)
     ),
+    // Incremental near-dup detection (the production mode): the
+    // 'src1' slice plays the new crawl batch, checked against the
+    // rest of the corpus + itself via the batch-sided LSH band join —
+    // old-vs-old pairs are never formed. At 100 TB the corpus band
+    // and shingle tables are the persisted dedup index (SCALE.md).
+    QueryDef(
+      "q_incremental_neardups",
+      (s, dir) =>
+        DedupOps
+          .incrementalNearDupPairs(T(s, dir).documents, "doc_id", "text",
+            isNew = col("source") === "src1",
+            shingleN = 3, numSigs = 4, rowsPerBand = 4, minJaccard = 0.2)
+          .select(col("new_id"), col("match_id"), col("match_is_new"),
+            r4(col("jaccard")).as("jaccard")),
+      Some(s"""
+        WITH $tokSql,
+        sh AS (
+          SELECT doc_id, source = 'src1' AS is_new,
+            list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3
+        ),
+        sig AS (
+          SELECT doc_id, is_new, s,
+            list_min(list_transform(s, x -> substr(md5(x), 1, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 9, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 17, 8))) || '|' ||
+            list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS bucket
+          FROM sh
+        ),
+        pairs AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS match_id,
+            b.is_new AS match_is_new, a.s AS sa, b.s AS sb
+          FROM sig a JOIN sig b ON a.bucket = b.bucket
+            AND a.is_new AND a.doc_id <> b.doc_id
+            AND (NOT b.is_new OR a.doc_id < b.doc_id)
+        )
+        SELECT new_id, match_id, match_is_new,
+          ROUND(CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+                / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))), 4)
+            AS jaccard
+        FROM pairs
+        WHERE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+              / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) >= 0.2
+      """)
+    ),
     // n-gram Jaccard near-dup via df-capped inverted shingle index
     // (the no-MinHash set-similarity join; stop-shingles dropped)
     QueryDef(

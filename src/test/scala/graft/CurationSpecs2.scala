@@ -98,6 +98,24 @@ class CurationSpecs2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getSeq[Int](rows(1).fieldIndex("q")).forall(_ == 0))
   }
 
+  test("incrementalNearDupPairs == full nearDupPairs restricted to new-touching pairs") {
+    import graft.operators.DedupOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val full = DedupOps.nearDupPairs(docs, "doc_id", "text", 3, 4, 4, 0.2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val newIds = docs.filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = full.filter { case (a, b) => newIds(a) || newIds(b) }
+      .map { case (a, b) =>
+        if (newIds(a) && newIds(b)) (math.min(a, b), math.max(a, b))
+        else if (newIds(a)) (a, b) else (b, a)
+      }
+    val inc = DedupOps.incrementalNearDupPairs(docs, "doc_id", "text",
+      col("source") === "src1", 3, 4, 4, 0.2)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("match_id"))).toSet
+    assert(inc == expected, s"incremental=${inc.size} expected=${expected.size}")
+  }
+
   test("int8Quantize on fixture: reconstruction within half-step everywhere") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val checked = e.select(SimilarityOps.toDouble(col("embedding")).as("xd"),
