@@ -84,6 +84,48 @@ object JoinOps {
       .drop("__rn")
   }
 
+  /** Variable-length interval overlap self-join via grid bucketing —
+    * the scale-safe form of `a.start <= b.end AND b.start <= a.end`.
+    * A naive inequality self-join has no equi key, so Spark plans a
+    * BroadcastNestedLoopJoin (quadratic). Decomposition: explode each
+    * interval to the `bucketWidth`-grid cells it touches, equi-join
+    * on the cell, then verify the exact overlap predicate and dedupe
+    * (a pair sharing several cells emits once).
+    *
+    * Cost scales with Σ interval_len/W (explode) + true-concurrency
+    * pair count — never with |rows|². Pick W near the median interval
+    * length: smaller W = more replication, larger W = fatter cells
+    * (the skew valve). Start/end are inclusive integers (any unit).
+    *
+    * Emits (id_a, id_b, overlap_start, overlap_end) with id_a < id_b.
+    */
+  def intervalOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val cells = df
+      .select(col(idCol).as("__id"), col(startCol).cast("long").as("__st"),
+        col(endCol).cast("long").as("__en"))
+      .filter(col("__st") <= col("__en"))
+      .select(col("__id"), col("__st"), col("__en"),
+        explode(sequence(expr(s"__st div $bucketWidth"), expr(s"__en div $bucketWidth")))
+          .as("__cell"))
+    val a = cells.select(col("__cell"), col("__id").as("id_a"),
+      col("__st").as("st_a"), col("__en").as("en_a"))
+    val b = cells.select(col("__cell"), col("__id").as("id_b"),
+      col("__st").as("st_b"), col("__en").as("en_b"))
+    a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b") &&
+        col("st_a") <= col("en_b") && col("st_b") <= col("en_a"))
+      .select(col("id_a"), col("id_b"),
+        greatest(col("st_a"), col("st_b")).as("overlap_start"),
+        least(col("en_a"), col("en_b")).as("overlap_end"))
+      .distinct()
+  }
+
   /** Point-in-time "latest per group" join: reduce to the row carrying
     * the max order column per key (ref fred_series_latest_aggregates
     * .sql:110-137). Uses max_by-style struct-max — one aggregation, no

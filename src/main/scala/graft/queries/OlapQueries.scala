@@ -78,6 +78,60 @@ object OlapQueries {
         GROUP BY user_id, session_idx
       """)
     ),
+    // Concurrent-session pairs across users via the grid-bucketed
+    // interval overlap join ([[graft.operators.JoinOps
+    // .intervalOverlapPairs]]): sessions from the native session
+    // window, 10-minute grid cells, exact inclusive-overlap verify.
+    // The naive form of this predicate is a BroadcastNestedLoopJoin;
+    // the grid keeps it a hash equi-join at any scale.
+    QueryDef(
+      "q_session_overlap_pairs",
+      (s, dir) => {
+        val sess = T(s, dir).events
+          .select(col("user_id"), col("ts"))
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+          .select(
+            concat_ws(":", col("user_id"), unix_micros(col("st"))).as("sid"),
+            unix_micros(col("st")).as("st_us"),
+            unix_micros(col("en")).as("en_us"))
+        graft.operators.JoinOps
+          .intervalOverlapPairs(sess, "sid", "st_us", "en_us", bucketWidth = 600000000L)
+          .select(col("id_a"), col("id_b"), col("overlap_start"),
+            expr("(overlap_end - overlap_start) div 1000000").as("overlap_sec"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        ),
+        marked AS (
+          SELECT *,
+            CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                      >= 1800000000 OR
+                 LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                 THEN 1 ELSE 0 END AS is_new
+          FROM e
+        ),
+        sess AS (
+          SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, si, MIN(us) AS st, MAX(us) AS en
+          FROM sess GROUP BY user_id, si
+        ),
+        ids AS (
+          SELECT CAST(user_id AS VARCHAR) || ':' || CAST(st AS VARCHAR) AS sid, st, en
+          FROM agg
+        )
+        SELECT a.sid AS id_a, b.sid AS id_b,
+          GREATEST(a.st, b.st) AS overlap_start,
+          (LEAST(a.en, b.en) - GREATEST(a.st, b.st)) // 1000000 AS overlap_sec
+        FROM ids a JOIN ids b
+          ON a.sid < b.sid AND a.st <= b.en AND b.st <= a.en
+      """)
+    ),
     // Hierarchical revenue rollup region -> nation -> grand total via
     // ROLLUP grouping sets with grouping_id. Dims broadcast onto the
     // orders->customer shuffle join; the grouping-set expansion rides
@@ -112,6 +166,40 @@ object OlapQueries {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY ROLLUP(r.r_name, n.n_name)
+      """)
+    ),
+    // Wide -> long reshape via the NATIVE DataFrame.unpivot (Catalyst
+    // Expand — the melt half of the pivot/unpivot pair; pivot's
+    // MAX(CASE) form is covered by q_conditional_pivot_status). The
+    // Expand multiplies rows AFTER the aggregation, so the reshape
+    // cost is metric-count x group-count, independent of fact size.
+    QueryDef(
+      "q_unpivot_metrics",
+      (s, dir) => {
+        val wide = T(s, dir).lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            dsum(col("l_discount")).as("sum_disc"))
+        wide.unpivot(
+          Array(col("l_returnflag"), col("l_linestatus")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+      },
+      Some("""
+        WITH w AS (
+          SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM w
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'sum_disc', sum_disc FROM w
       """)
     ),
     // Z-order layout audit ([[graft.operators.LayoutOps]]): Morton-
