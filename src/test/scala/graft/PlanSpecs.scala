@@ -215,6 +215,12 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "min/max bounds must broadcast back onto the rows")
   }
 
+  test("interval overlap join is a grid-cell hash join, never BNLJ") {
+    val plan = executedPlan("q_session_overlap_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the grid decomposition must keep the overlap join an equi join")
+  }
+
   test("kmv rollup never re-shuffles raw keys for the coarse level") {
     // The yearly estimate must derive from the monthly sketches: the
     // only scans are orders (sketch build + exact check), and the

@@ -67,6 +67,26 @@ class SketchSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("intervalOverlapPairs equals the naive quadratic join on dense intervals") {
+    import spark.implicits._
+    import graft.operators.JoinOps
+    // deterministic pseudo-random intervals across several grid cells,
+    // including exact-touch boundaries (en_a == st_b counts as overlap)
+    val rows = (1 to 300).map { i =>
+      val st = (i * 37L) % 1000
+      (s"iv$i", st, st + (i * 13L) % 80
+      )
+    }
+    val df = rows.toDF("id", "st", "en")
+    val grid = JoinOps.intervalOverlapPairs(df, "id", "st", "en", bucketWidth = 50L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val naive = (for {
+      (ia, sa, ea) <- rows; (ib, sb, eb) <- rows
+      if ia < ib && sa <= eb && sb <= ea
+    } yield (ia, ib)).toSet
+    assert(grid == naive, s"grid=${grid.size} naive=${naive.size}")
+  }
+
   test("prioritySample: small group exact, big group unbiased-ish, deterministic") {
     import spark.implicits._
     val rows = (1 to 10).map(i => ("tiny", i.toLong, (i * 10).toLong)) ++
