@@ -127,6 +127,115 @@ object CurationQueries {
           (end_tok - 1) // 512 - (end_tok - tok) // 512 + 1 AS chunks_spanned
         FROM packed
       """)
+    ),
+    // Length-bucket padding audit (the batch-inference half of
+    // packing): bucket docs to a fixed power-of-two ladder (CASE, not
+    // float log2 — boundary-exact in any engine), report per-bucket
+    // doc/token counts and the padding waste vs padding every doc to
+    // the global 4096 ceiling. Waste ratios via the exact-decimal
+    // division pair. One groupBy; the ladder is a projection.
+    QueryDef(
+      "q_length_bucket_padding",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+        val n      = estBpe
+        val bucket = ladder.reverse.tail
+          .foldLeft(lit(4096L)) { (acc, b) => when(n <= b, lit(b)).otherwise(acc) }
+        T(s, dir).documents
+          .select(col("doc_id"), n.as("tok"), bucket.as("bucket_len"))
+          .filter(col("tok") > 0 && col("tok") <= 4096)
+          .groupBy(col("bucket_len"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).cast("long").as("total_tokens"),
+            sum(col("bucket_len") - col("tok")).cast("long").as("padding_tokens"),
+            sum(lit(4096L) - col("tok")).cast("long").as("naive_padding_tokens"))
+          .withColumn("waste_pct",
+            QueryDef.rdiv((col("padding_tokens") * 10000).cast(DecimalType(18, 0)),
+              col("bucket_len") * col("n_docs"), 2))
+      },
+      Some {
+        val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+        val bucketSql = ladder.foldRight("4096") { (b, acc) =>
+          s"CASE WHEN tok <= $b THEN $b ELSE $acc END"
+        }
+        s"""
+        WITH $tokSql,
+        bucketed AS (
+          SELECT doc_id, tok, CAST($bucketSql AS BIGINT) AS bucket_len
+          FROM per_doc WHERE tok > 0 AND tok <= 4096
+        ),
+        agg AS (
+          SELECT bucket_len,
+            COUNT(*) AS n_docs,
+            CAST(SUM(tok) AS BIGINT) AS total_tokens,
+            CAST(SUM(bucket_len - tok) AS BIGINT) AS padding_tokens,
+            CAST(SUM(4096 - tok) AS BIGINT) AS naive_padding_tokens
+          FROM bucketed GROUP BY bucket_len
+        )
+        SELECT bucket_len, n_docs, total_tokens, padding_tokens, naive_padding_tokens,
+          ${QueryDef.oDivRound("padding_tokens * 10000 * 1000000", "bucket_len * n_docs", 2)}
+            AS waste_pct
+        FROM agg
+      """
+      }
+    ),
+    // Deterministic train/val/test split: md5-derived percentile of
+    // the doc id -> 80/10/10, stable across runs, engines, and corpus
+    // growth (a doc's split never changes when other docs arrive —
+    // the property a random split lacks). Per source x split counts +
+    // exact doc-share ratios.
+    QueryDef(
+      "q_train_val_test_split",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        import graft.operators.SketchOps
+        val pct = pmod(SketchOps.hash32(col("doc_id")), lit(100L))
+        val split = when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+        val d = T(s, dir).documents
+          .select(col("doc_id"), col("source"), split.as("split"),
+            TextOps.tokenCount(col("text")).as("tok"))
+        val withTotals = d.groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).cast("long").as("n_tokens"))
+        val tot = d.groupBy(col("source")).agg(count(lit(1)).as("source_docs"))
+        withTotals.join(tot, Seq("source"))
+          .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+            QueryDef.rdiv((col("n_docs") * 10000).cast(DecimalType(18, 0)),
+              col("source_docs"), 4).as("doc_share"))
+      },
+      Some {
+        val h = (0 until 8).map { i =>
+          val d = s"ascii(substr(md5(CAST(doc_id AS VARCHAR)), ${i + 1}, 1))"
+          s"CAST(CASE WHEN $d <= 57 THEN $d - 48 ELSE $d - 87 END AS BIGINT) * ${1L << (4 * (7 - i))}"
+        }.mkString("(", " + ", ")")
+        s"""
+        WITH $tokSql,
+        split_docs AS (
+          SELECT d.doc_id, d.source, d.tok,
+            CASE WHEN $h % 100 < 80 THEN 'train'
+                 WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+          FROM per_doc d
+        ),
+        agg AS (
+          SELECT source, split, COUNT(*) AS n_docs
+          FROM split_docs GROUP BY 1, 2
+        ),
+        tok_agg AS (
+          SELECT s.source, s.split,
+            CAST(SUM(len(list_filter(string_split_regex(lower(doc.text), '\\s+'),
+                     x -> len(x) > 0))) AS BIGINT) AS n_tokens
+          FROM split_docs s JOIN documents doc USING (doc_id)
+          GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, COUNT(*) AS source_docs FROM documents GROUP BY 1)
+        SELECT a.source, a.split, a.n_docs, k.n_tokens,
+          ${QueryDef.oDivRound("a.n_docs * 10000 * 1000000", "t.source_docs", 4)} AS doc_share
+        FROM agg a
+        JOIN tok_agg k ON a.source = k.source AND a.split = k.split
+        JOIN tot t ON a.source = t.source
+      """
+      }
     )
   )
 }
