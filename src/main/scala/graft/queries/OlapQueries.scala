@@ -21,10 +21,11 @@ object OlapQueries {
   val defs: Seq[QueryDef] = Seq(
     // Clickstream sessionization via the NATIVE session_window
     // operator (30-minute inactivity gap, per user). Semantics pinned
-    // cross-engine: Spark merges an event into the running session
-    // while ts < prev_ts + gap, so a gap of EXACTLY 30 minutes starts
-    // a new session — the oracle replays `diff >= gap` gaps-and-
-    // islands on the same micro-floored timestamps. Session bounds
+    // cross-engine (LayoutSpecs boundary test): Spark merges event
+    // windows [ts, ts+gap) that overlap OR TOUCH, so an event landing
+    // EXACTLY gap after the previous one CONTINUES the session — the
+    // oracle replays `diff > gap` gaps-and-islands on the same
+    // micro-floored timestamps. Session bounds
     // are reported as min/max event time (window.start == min ts;
     // window.end pads the gap, so it is not emitted). total_value
     // folds in exact decimal (order-independent).
@@ -57,7 +58,7 @@ object OlapQueries {
         marked AS (
           SELECT *,
             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_type)
-                      >= 1800000000 OR
+                      > 1800000000 OR
                  LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_type) IS NULL
                  THEN 1 ELSE 0 END AS is_new
           FROM e
@@ -107,7 +108,7 @@ object OlapQueries {
         marked AS (
           SELECT *,
             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
-                      >= 1800000000 OR
+                      > 1800000000 OR
                  LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
                  THEN 1 ELSE 0 END AS is_new
           FROM e

@@ -194,7 +194,7 @@ object StreamingQueries {
         marked AS (
           SELECT *,
             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
-                      >= 1800000000 OR
+                      > 1800000000 OR
                  LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
                  THEN 1 ELSE 0 END AS is_new
           FROM e

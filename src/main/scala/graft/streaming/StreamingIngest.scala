@@ -121,7 +121,11 @@ object StreamingIngest {
         var open   = state.getOption
         sorted.foreach { case (_, ts, v) =>
           open match {
-            case Some((st, last, n, tot)) if ts - last < gapUs =>
+            // merge while diff <= gap: an event landing EXACTLY gap
+            // after the previous one continues the session — Spark's
+            // native session_window rule (event windows [ts, ts+gap)
+            // merge when overlapping OR ADJACENT; LayoutSpecs pins it)
+            case Some((st, last, n, tot)) if ts - last <= gapUs =>
               open = Some((st, ts, n + 1, tot + v))
             case Some((st, last, n, tot)) =>
               out += ((user, st, last, n, tot, false))

@@ -48,6 +48,31 @@ class LayoutSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(lo) == 0 && got(hi) == 65535)
   }
 
+  test("session_window boundary: exactly-gap MERGES, gap+1us splits (oracle rule: diff > gap)") {
+    import spark.implicits._
+    // Spark merges event windows [ts, ts+gap) that overlap OR TOUCH:
+    // an event EXACTLY 30:00 after the previous one continues the
+    // session; one microsecond later starts a new one. The
+    // q_sessionize_events / q_stream_sessionize / overlap oracles
+    // replay this as `diff > gap` gaps-and-islands — this test pins
+    // the boundary on both sides.
+    val base = 1700000000000000L // epoch micros
+    val gap  = 30L * 60 * 1000000
+    val rows = Seq(
+      (1L, base),
+      (1L, base + gap),          // touches: merges
+      (1L, base + 2 * gap + 1L)) // 1us past: new session
+    val df = rows.toDF("user_id", "us")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
+    val sessions = df
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes"))
+      .count()
+      .collect()
+    assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.length}")
+    assert(sessions.map(_.getAs[Long]("count")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("zorderAudit: per-bucket spans are narrow on BOTH dimensions") {
     import spark.implicits._
     val grid = for (a <- 0 until 128; b <- 0 until 128) yield (a.toLong, b.toLong)
