@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond the pair/cluster layer
+  * ([[DedupOps.connectedComponents]]): PageRank in SCALED-INTEGER
+  * arithmetic.
+  *
+  * Why integers: the textbook update
+  * `r'(v) = (1-d)/N + d * Σ r(u)/deg(u)` sums doubles in shuffle
+  * order — nondeterministic last bits across runs, partitionings, and
+  * engines. Scaling ranks to units of 10⁻¹² and replacing every
+  * division with integer floor-div makes each iteration EXACT: sums
+  * are associative-commutative BIGINT adds, so the result is
+  * byte-stable anywhere (the same discipline as [[SketchOps]]). The
+  * floor losses (< 1 unit per edge per iteration) drain a negligible
+  * amount of total mass and never affect comparability.
+  *
+  * Scale: each iteration is one join (contributions, keyed by src)
+  * and one groupBy (by dst) — the canonical Pregel-style shuffle
+  * pair. Ranks persist per round (previous round unpersisted) so the
+  * lineage stays one iteration deep; only N (node count) lives on
+  * the driver.
+  */
+object GraphOps {
+
+  private val Unit12 = 1000000000000L // 10^12 rank units
+
+  /** PageRank over a directed edge list (`src`, `dst` string columns)
+    * with damping `dampNum/dampDen` (default 85/100) for a FIXED
+    * iteration count. Every node must appear as a source (symmetrize
+    * the edge list for undirected graphs — dangling nodes would
+    * otherwise leak their mass).
+    *
+    * Returns (node, rank_u12): rank in 10⁻¹² units, exact. */
+  def pageRankScaled(
+      edges: DataFrame,
+      iterations: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen out of (0,1)")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("__deg")).cache()
+    val nodes = e.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count() // the one driver-side scalar
+    require(n > 0, "empty graph")
+    val basePart = (Unit12 * (dampDen - dampNum) / dampDen) / n // exact long
+    var ranks = nodes.withColumn("rank_u12", lit(Unit12 / n)).cache()
+    ranks.count()
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("node"), expr("rank_u12 div __deg").as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).as("__in"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(basePart) +
+            expr(s"(coalesce(__in, 0L) * $dampNum) div $dampDen"))
+            .as("rank_u12"))
+        .cache()
+      next.count() // materialize before dropping the previous round
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Customer–supplier trade graph from the TPC-H-ish fixtures:
+    * symmetric edges `c:<custkey> <-> s:<suppkey>` for every distinct
+    * (customer, supplier) pair that shares an order. */
+  def tradeGraphEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c:"), col("o_custkey")).as("c"),
+        concat(lit("s:"), col("l_suppkey")).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+}

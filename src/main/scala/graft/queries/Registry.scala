@@ -27,7 +27,8 @@ object Registry {
       StagingMarketQueries.defs ++ FomcStagingQueries.defs ++
       DataTestQueries.defs ++ DocumentExtractionQueries.defs ++
       DataDictionaryQueries.defs ++ StreamingQueries.defs ++ AlertQueries.defs ++
-      CurationQueries.defs ++ SketchQueries.defs ++ OlapQueries.defs
+      CurationQueries.defs ++ SketchQueries.defs ++ OlapQueries.defs ++
+      GraphQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
