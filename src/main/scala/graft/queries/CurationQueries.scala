@@ -121,10 +121,10 @@ object CurationQueries {
           FROM per_doc WHERE tok > 0
         )
         SELECT shard, doc_id, tok AS n_tokens,
-          (end_tok - tok) % 512 AS chunk_offset,
-          (end_tok - tok) // 512 AS first_chunk,
-          (end_tok - 1) // 512 AS last_chunk,
-          (end_tok - 1) // 512 - (end_tok - tok) // 512 + 1 AS chunks_spanned
+          CAST((end_tok - tok) % 512 AS BIGINT) AS chunk_offset,
+          CAST((end_tok - tok) // 512 AS BIGINT) AS first_chunk,
+          CAST((end_tok - 1) // 512 AS BIGINT) AS last_chunk,
+          CAST((end_tok - 1) // 512 - (end_tok - tok) // 512 + 1 AS BIGINT) AS chunks_spanned
         FROM packed
       """)
     ),

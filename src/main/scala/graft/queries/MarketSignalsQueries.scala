@@ -464,7 +464,7 @@ object MarketSignalsQueries {
     SELECT b.date, b.total_stocks, b.stocks_above_200_ma, b.stocks_above_50_ma,
       b.advancing_stocks, b.declining_stocks, b.unchanged_stocks,
       b.pct_above_200_ma, b.pct_above_50_ma, b.ad_ratio, b.ad_line_delta,
-      b.ad_line_cumulative,
+      CAST(b.ad_line_cumulative AS BIGINT) AS ad_line_cumulative,
       b.prev_pct_above_200_ma, b.prev_pct_above_50_ma, b.pct_advancing,
       b.total_advancing_volume, b.total_declining_volume,
       b.pct_above_200_ma_10d_avg, b.ad_ratio_5d_avg,

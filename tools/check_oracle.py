@@ -15,6 +15,7 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -42,6 +43,24 @@ def compare(name, spark_df, duck_df):
         return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
         return f"ROWCOUNT MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
+    # Driver-hash fidelity: the driver stringizes values, so an int64
+    # column on one side vs float64 on the other ("3" vs "3.0") hash-
+    # mismatches even when numerically equal (r05: q_sequence_packing,
+    # q_market_breadth_signals — DuckDB SUM(BIGINT) OVER yields HUGEINT
+    # → float64). Same for Spark NaN vs DuckDB NULL. Flag both.
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        a_int = pd.api.types.is_integer_dtype(a)
+        b_int = pd.api.types.is_integer_dtype(b)
+        a_f = pd.api.types.is_float_dtype(a)
+        b_f = pd.api.types.is_float_dtype(b)
+        if (a_int and b_f) or (a_f and b_int):
+            return (f"DTYPE MISMATCH col={c} spark={a.dtype} duck={b.dtype} "
+                    "(int-vs-float: driver hash stringizes '3' != '3.0')")
+        if a_f and b_f:
+            na, nb = int(np.isnan(a.to_numpy()).sum()), int(np.isnan(b.to_numpy()).sum())
+            if na != nb:
+                return f"NAN/NULL ASYMMETRY col={c} spark_nan={na} duck_nan={nb}"
     a, b = normalize(spark_df), normalize(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
