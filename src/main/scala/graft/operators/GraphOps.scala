@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * floor losses (< 1 unit per edge per iteration) drain a negligible
   * amount of total mass and never affect comparability.
   *
-  * Scale: each iteration is one join (contributions, keyed by src)
-  * and one groupBy (by dst) — the canonical Pregel-style shuffle
-  * pair. Ranks persist per round (previous round unpersisted) so the
-  * lineage stays one iteration deep; only N (node count) lives on
-  * the driver.
+  * Scale: ONE shuffle per iteration — the groupBy(dst) transpose.
+  * The edge list is degree-annotated once and hash-partitioned by
+  * `src` up front; each round's ranks come out of a node-keyed
+  * shuffle, so the contribution join and the node left-join both
+  * reuse cached hash partitionings (no per-round re-shuffle of the
+  * edge side, which dominates: |E| ≫ |V|). Ranks persist per round
+  * (previous round unpersisted) so the lineage stays one iteration
+  * deep; only N (node count) lives on the driver.
   */
 object GraphOps {
 
@@ -42,18 +45,24 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen out of (0,1)")
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val out = e.groupBy(col("src")).agg(count(lit(1)).as("__deg")).cache()
-    val nodes = e.select(col("src").as("node")).distinct().cache()
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // Degree-annotated edges, partitioned by src ONCE: every round's
+    // contribution join then lines up against node-keyed ranks with
+    // no exchange on the (large) edge side.
+    val e2 = e.join(out, Seq("src"))
+      .repartition(col("src"))
+      .select(col("src"), col("dst"), col("__deg"))
+      .cache()
+    val nodes = e2.select(col("src").as("node")).distinct().cache()
     val n = nodes.count() // the one driver-side scalar
     require(n > 0, "empty graph")
     val basePart = (Unit12 * (dampDen - dampNum) / dampDen) / n // exact long
     var ranks = nodes.withColumn("rank_u12", lit(Unit12 / n)).cache()
     ranks.count()
     for (_ <- 1 to iterations) {
-      val contribs = e
+      val contribs = e2
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(out, Seq("src"))
         .select(col("dst").as("node"), expr("rank_u12 div __deg").as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))

@@ -170,11 +170,11 @@ object StreamingQueries {
     QueryDef(
       "q_stream_sessionize",
       (s, dir) => {
-        // events.parquet is TIMESTAMP(NANOS): mirror Tables.events
-        // (nanos-as-long + rebuild micros) for the stream read.
+        // Mirror Tables.events for the stream read: nanos-as-long for
+        // the old corpus layout, NTZ cast for the new (the dispatch in
+        // normalizeEventTs sees whichever schema the batch read infers).
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val src = stream(s, dir, "events")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val src = graft.runtime.Tables.normalizeEventTs(stream(s, dir, "events"))
         val sessions = StreamingIngest
           .statefulSessionize(src, "user_id", "ts", "value", gapSeconds = 1800)
           .toDF("user_id", "start_us", "end_us", "n_events", "v_u6", "is_open")

@@ -21,16 +21,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default; read the raw nanos as long and rebuild a
-    * microsecond timestamp (Spark's native resolution). */
+  /** events.parquet has shipped with two timestamp layouts across
+    * corpus drops; normalize either (see [[Tables.normalizeEventTs]]). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
-      "ts",
-      timestamp_micros(expr("ts div 1000"))
-    )
+    Tables.normalizeEventTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  /** events.parquet has carried TIMESTAMP(NANOS) — which Spark's
+    * reader rejects unless read as raw nanos longs under
+    * `spark.sql.legacy.parquet.nanosAsLong` — and, in newer corpus
+    * drops, TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark
+    * reads natively as TIMESTAMP_NTZ. Dispatch on the landed type and
+    * normalize both to a session-TZ microsecond timestamp (identical
+    * wall-clock — all sessions run UTC), so every downstream consumer
+    * sees one `ts` contract regardless of which drop it reads. */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+    case _                => df
+  }
 }
