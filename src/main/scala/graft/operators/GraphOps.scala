@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale: ONE shuffle per iteration — the groupBy(dst) transpose.
   * The edge list is degree-annotated once and hash-partitioned by
-  * `src` up front; each round's ranks come out of a node-keyed
-  * shuffle, so the contribution join and the node left-join both
-  * reuse cached hash partitionings (no per-round re-shuffle of the
-  * edge side, which dominates: |E| ≫ |V|). Ranks persist per round
-  * (previous round unpersisted) so the lineage stays one iteration
-  * deep; only N (node count) lives on the driver.
+  * `src` up front; each round's contribution join is hinted
+  * shuffle-hash (the rank side is |V| ≪ |E|), so the big edge side
+  * neither re-exchanges nor re-sorts. Each round's ranks are
+  * `localCheckpoint`ed, not just cached: an iterative DataFrame's
+  * logical plan otherwise grows one round deeper every iteration and
+  * re-analysis/AQE re-optimization of the accumulated plan comes to
+  * dominate wall-clock (measured: per-round cost climbing 0.5→7 s by
+  * round 8 with plain cache; flat ~0.5 s with checkpoint). On a
+  * multi-executor cluster where executor loss must be survivable,
+  * swap `localCheckpoint` for reliable `checkpoint` against a
+  * checkpoint dir — same truncation, durable blocks. Only N (node
+  * count) lives on the driver.
   */
 object GraphOps {
 
@@ -58,24 +64,21 @@ object GraphOps {
     val n = nodes.count() // the one driver-side scalar
     require(n > 0, "empty graph")
     val basePart = (Unit12 * (dampDen - dampNum) / dampDen) / n // exact long
-    var ranks = nodes.withColumn("rank_u12", lit(Unit12 / n)).cache()
-    ranks.count()
+    var ranks = nodes.withColumn("rank_u12", lit(Unit12 / n))
+      .localCheckpoint(true) // eager: plan truncated to a flat scan
     for (_ <- 1 to iterations) {
       val contribs = e2
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"), expr("rank_u12 div __deg").as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
+      ranks = nodes
+        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(basePart) +
             expr(s"(coalesce(__in, 0L) * $dampNum) div $dampDen"))
             .as("rank_u12"))
-        .cache()
-      next.count() // materialize before dropping the previous round
-      ranks.unpersist(blocking = false)
-      ranks = next
+        .localCheckpoint(true)
     }
     ranks
   }
