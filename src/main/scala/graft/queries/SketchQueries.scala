@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{SketchOps, TextOps}
@@ -287,6 +288,72 @@ object SketchQueries {
         FROM uest u LEFT JOIN ex USING (source_a, source_b)
       """
       }
+    ),
+    // Approximate quantiles with a VERIFIED rank-error bound: Spark's
+    // native percentile_approx (Greenwald–Khanna summaries — one pass,
+    // mergeable, no global sort; THE 100 TB quantile path) over
+    // per-flag price distributions. The sketch estimate itself is
+    // merge-order-dependent, so it is NOT emitted; what IS emitted —
+    // and driver-hash-gated — is (a) the exact discontinuous
+    // percentile, recomputed independently by both engines, and (b) a
+    // boolean asserting the sketch value's true rank landed within the
+    // documented n/accuracy envelope of the target rank. If a Spark
+    // upgrade ever broke the GK guarantee, (b) flips and the gate goes
+    // red; the oracle expects TRUE unconditionally.
+    QueryDef(
+      "q_approx_quantile_bounds",
+      (s, dir) => {
+        val ps  = Seq(0.25, 0.5, 0.75, 0.9)
+        val acc = 1000
+        val li = T(s, dir).lineitem
+          .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
+        val pArr = array(ps.map(lit): _*)
+        val approx = li.groupBy(col("grp"))
+          .agg(percentile_approx(col("v"), pArr, lit(acc)).as("ap"),
+            count(lit(1)).as("n"))
+          .select(col("grp"), col("n"), posexplode(col("ap")))
+          .select(col("grp"), col("n"),
+            element_at(pArr, col("pos").cast("int") + 1).as("p"),
+            col("col").as("approx_v"))
+        // true rank window of the sketch's answer, one pass over data
+        val rankOf = li.join(broadcast(approx), Seq("grp"))
+          .groupBy(col("grp"), col("p"), col("n"), col("approx_v"))
+          .agg(
+            sum(when(col("v") <= col("approx_v"), 1L).otherwise(0L)).as("cnt_le"),
+            sum(when(col("v") < col("approx_v"), 1L).otherwise(0L)).as("cnt_lt"))
+        // exact disc percentile: the value at rank ceil(p*n) (value at
+        // a rank is deterministic even when row_number ties are not)
+        val wg = Window.partitionBy(col("rgrp")).orderBy(col("v"))
+        val ranked = li.select(col("grp").as("rgrp"), col("v"))
+          .withColumn("rk", row_number().over(wg))
+        val exact = rankOf
+          .withColumn("rke", ceil(col("p") * col("n")).cast("long"))
+          .join(ranked, col("grp") === col("rgrp") && col("rke") === col("rk"))
+        val err = col("n").cast("double") / acc + 1.0
+        exact.select(
+          col("grp"), col("p"), col("n"),
+          col("v").as("exact_v"),
+          when(
+            col("cnt_le").cast("double") >= col("p") * col("n") - err &&
+              (col("cnt_lt") + 1).cast("double") <= col("p") * col("n") + err,
+            1L).otherwise(0L).as("approx_within_bound"))
+      },
+      Some("""
+        WITH li AS (SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem),
+        grp_n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY grp),
+        ranked AS (
+          SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rk FROM li
+        ),
+        ps AS (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                              CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+        target AS (
+          SELECT g.grp, g.n, ps.p, CAST(CEIL(ps.p * g.n) AS BIGINT) AS rke
+          FROM grp_n g CROSS JOIN ps
+        )
+        SELECT t.grp, t.p, t.n, r.v AS exact_v,
+          CAST(1 AS BIGINT) AS approx_within_bound
+        FROM target t JOIN ranked r ON t.grp = r.grp AND t.rke = r.rk
+      """)
     )
   )
 }
