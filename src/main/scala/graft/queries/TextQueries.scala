@@ -504,10 +504,12 @@ object TextQueries {
       "q_simhash_docs",
       (s, dir) => {
         val d = T(s, dir).documents
-        d.select(
-          col("doc_id"),
-          DedupOps.simhash16(DedupOps.tokens(col("text"))).cast("long").as("simhash")
-        )
+        d.select(col("doc_id"),
+            DedupOps.simhashDigests(DedupOps.tokens(col("text"))).as("__d"))
+          .select(
+            col("doc_id"),
+            DedupOps.simhash16FromDigests(col("__d")).cast("long").as("simhash")
+          )
       },
       Some {
         val votes = (0 until 16)
