@@ -15,6 +15,10 @@ object Profile {
     try SparkEntry.queries("q_window_lag_returns")(spark, sfDir).count() catch { case _: Throwable => () }
     spark.catalog.clearCache()
     names.foreach { n =>
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        println(s"===== EXPLAIN $n =====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
       (1 to 3).foreach { i =>
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()

@@ -71,6 +71,31 @@ object CommodityQueries {
       FROM lineitem GROUP BY 1, 2
     )"""
 
+  /** All three universes' stagings from ONE lineitem pass: the md5
+    * tie-break key is computed once per row and the row fans out to
+    * its three (bucket, unit) family keys via explode — one fact scan
+    * and one shuffle where the naive per-universe union pays three of
+    * each (VERDICT r6 §wrong-2). Row-identical to
+    * `Universes.map(staging).reduce(unionByName)`: the bucket
+    * functions are total (every lineitem row lands in each family)
+    * and the EN_/AG_/IN_ key spaces are disjoint, so the grouped
+    * cells coincide 1:1. At 100 TB the three-scan shape reads the
+    * fact table three times; this reads it once. */
+  def stagingAll(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    val fams = array(Universes.map { case (_, bucket, _, unit, _) =>
+      struct(bucket(s).as("commodity_name"), lit(unit).as("commodity_unit"))
+    }: _*)
+    T(s, dir).lineitem
+      .select(col("l_extendedprice"), to_date(col("l_shipdate")).as("date"),
+        key.as("__k"), explode(fams).as("fam"))
+      .groupBy(col("fam.commodity_name").as("commodity_name"), col("date"),
+        col("fam.commodity_unit").as("commodity_unit"))
+      .agg(max_by(col("l_extendedprice"), col("__k")).as("price"))
+      .select(col("commodity_name"), col("date"), col("price"), col("commodity_unit"))
+  }
+
   // ------------------------------------------------------------------
   // calculate_commodity_summary
   // ------------------------------------------------------------------
@@ -326,14 +351,13 @@ object CommodityQueries {
     } ++ Seq(
       QueryDef(
         "q_agent_commodity_performance",
-        // ONE summary run over the unioned stagings: the bounds scalar
-        // (max date) and every window/aggregation key are independent
-        // per commodity prefix, so one shared pipeline equals three
-        // (each universe's date domain is the full ship-date range)
+        // ONE summary run over the single-scan staging: the bounds
+        // scalar (max date) and every window/aggregation key are
+        // independent per commodity prefix, so one shared pipeline
+        // equals three (each universe's date domain is the full
+        // ship-date range)
         (s, dir) => {
-          val stg = Universes.map { case (_, bucket, _, unit, _) =>
-            staging(s, dir, bucket(s), unit)
-          }.reduce(_ unionByName _)
+          val stg = stagingAll(s, dir)
           val cat = Universes.foldLeft(lit(null).cast("string")) {
             case (acc, (_, _, _, _, c)) =>
               val pfx = c match {

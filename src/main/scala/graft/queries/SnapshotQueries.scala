@@ -252,6 +252,26 @@ object SnapshotQueries {
       .withColumn("commodity_unit", lit(unit))
   }
 
+  /** All three snapshot stagings from ONE lineitem pass (md5 key once
+    * per row, explode to the three family keys) — same single-scan
+    * rewrite as [[CommodityQueries.stagingAll]]; row-identical to the
+    * per-universe union because the bucket functions are total and
+    * the EN_/AG_/IN_ key spaces are disjoint. */
+  private def commodityStagingAll(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    val fams = array(CommodityUniverses.map { case (_, bucket, _, unit, _) =>
+      struct(bucket(s).as("commodity_name"), lit(unit).as("commodity_unit"))
+    }: _*)
+    T(s, dir).lineitem
+      .select(col("l_extendedprice"), to_date(col("l_shipdate")).as("trade_date"),
+        key.as("__k"), explode(fams).as("fam"))
+      .groupBy(col("fam.commodity_name").as("commodity_name"), col("trade_date"),
+        col("fam.commodity_unit").as("commodity_unit"))
+      .agg(r4(max_by(col("l_extendedprice"), col("__k"))).as("price"))
+      .select(col("commodity_name"), col("trade_date"), col("price"), col("commodity_unit"))
+  }
+
   private def commodityCte(bucketSql: String, unit: String): String = s"""
     cstg AS (
       SELECT $bucketSql AS commodity_name, CAST(l_shipdate AS DATE) AS trade_date,
@@ -649,11 +669,9 @@ object SnapshotQueries {
        positive_days, negative_days, neutral_days, period_start_price, period_end_price"""
 
   private def agentCommodityPerfSnapshot(s: SparkSession, dir: String): DataFrame = {
-    // ONE snapshot run over the unioned stagings (prefix-independent
+    // ONE snapshot run over the single-scan staging (prefix-independent
     // spine/windows — same shared-run trick as the non-snapshot agent)
-    val stg = CommodityUniverses.map { case (_, bucket, _, unit, _) =>
-      commodityStaging(s, dir, bucket(s), unit)
-    }.reduce(_ unionByName _)
+    val stg = commodityStagingAll(s, dir)
     val cat = when(col("commodity_name").startsWith("EN_"), "energy")
       .when(col("commodity_name").startsWith("AG_"), "agriculture")
       .otherwise("input")
