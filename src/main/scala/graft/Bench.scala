@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
@@ -26,13 +26,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footers (not reported). Two
-    // passes with different shapes — a star join and a window/lookback
-    // model — so the first measured queries (alphabetically the agent
-    // models, which stack windows over analysis returns) don't absorb
-    // the WindowExec/aggregate codegen JIT cost. A missing name is a
+    // warmup: JVM + codegen + parquet footers (not reported). Three
+    // passes with different shapes — a star join, a window/lookback
+    // model, and an object-hash-aggregate snapshot (collect_list/
+    // sort_array + broadcast-nested-loop spine join) — so the first
+    // measured queries (alphabetically the agent models, which stack
+    // exactly these operators) don't absorb the codegen/JIT cost of a
+    // whole operator family on the clock. A missing name is a
     // registry bug, not a condition to skip silently.
-    Seq("q_join_star_region_revenue", "q_window_lag_returns").foreach { q =>
+    Seq("q_join_star_region_revenue", "q_window_lag_returns",
+        "q_fred_series_latest_aggregates_snapshot").foreach { q =>
       SparkEntry.queries.get(q) match {
         case Some(fn) =>
           try fn(spark, sfDir).count()
@@ -45,33 +48,51 @@ object Bench {
 
     // Local-dev subset filter (comma-separated names); driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def timed(fn: (SparkSession, String) => DataFrame): Double = {
+      // Attributable per-query numbers: caches cleared and a full GC
+      // forced BEFORE the clock starts, so one query's garbage (or
+      // leaked cache) can't bleed into its alphabetical neighbor.
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-query caches must not leak across measurements
+      dt
+    }
+    // Slow-list entries get median-of-3 (VERDICT r6 #7): a single
+    // sample on a >4 s query conflates plan cost with residual JIT /
+    // GC timing, so regressions vs improvements were single-sample
+    // judgments. The median of three is a steady-state number.
+    val MedianFloorSec = 4.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // Attributable per-query numbers: caches cleared and a full GC
-        // forced BEFORE the clock starts, so one query's garbage (or
-        // leaked cache) can't bleed into its alphabetical neighbor.
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // per-query caches must not leak across measurements
-        name -> dt
+        val first = timed(fn)
+        if (first <= MedianFloorSec) (name, first, 1)
+        else {
+          val samples = Seq(first, timed(fn), timed(fn)).sorted
+          (name, samples(1), 3)
+        }
       }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val rerun = results.filter(_._3 > 1)
 
-    // Full detail → file (not stdout: would blow the driver's tail capture).
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // Full detail → file (not stdout: would blow the driver's tail
+    // capture). Partial runs (SPARK_GRAFT_ONLY dev subsets) must NOT
+    // clobber the committed full-suite record (ADVICE r6).
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results.map(r => (r._1, r._2)))},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    else System.err.println(s"[bench] subset run (${results.size} queries): BENCH_FULL.json left untouched")
 
     // Compact line for the driver: total + the slowest queries, largest
     // first, as many as fit a conservative line budget.
-    val byCost = results.sortBy(-_._2)
+    val byCost = results.map(r => (r._1, r._2)).sortBy(-_._2)
     val budget = 1500 // chars for the queries map; whole line stays < ~1700
     val top = {
       val b = Seq.newBuilder[(String, Double)]
@@ -84,7 +105,7 @@ object Bench {
       }
       b.result()
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"detail":"BENCH_FULL.json","queries":${qmap(top)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"BENCH_FULL.json","queries":${qmap(top)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
