@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.queries.QueryDef.r4
-import graft.runtime.Tables
+import graft.runtime.{Materialized, Tables}
 
 /** The cross-asset signal family part 1 (SURVEY §2.M; refs
   * dbt_project/models/signals/factor_signals.sql and
@@ -44,17 +44,21 @@ object CrossAssetQueries {
     * on an exact rounding half — staged through the exact-decimal
     * division pair ([[QueryDef.rdiv]]/[[QueryDef.oDivRound]]) because
     * these values ship RAW in several outputs. */
-  def stgPrices(s: SparkSession, dir: String): DataFrame = {
-    val idxCol = col("l_suppkey") % 13
-    val sym = Symbols.zipWithIndex.foldLeft(lit(null).cast("string")) {
-      case (acc, (c, i)) => when(idxCol === i, lit(c)).otherwise(acc)
+  def stgPrices(s: SparkSession, dir: String): DataFrame =
+    Materialized(s, dir, "stg_cross_asset_prices") {
+      // materialized once per session: every symPrices slice (13+ per
+      // divergences run) reads the one cached aggregate instead of
+      // re-scanning the fact table per symbol
+      val idxCol = col("l_suppkey") % 13
+      val sym = Symbols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (c, i)) => when(idxCol === i, lit(c)).otherwise(acc)
+      }
+      T(s, dir).lineitem
+        .groupBy(sym.as("symbol"), to_date(col("l_shipdate")).as("date"))
+        .agg(QueryDef.rdiv(
+          sum(col("l_extendedprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
+          .as("adj_close"))
     }
-    T(s, dir).lineitem
-      .groupBy(sym.as("symbol"), to_date(col("l_shipdate")).as("date"))
-      .agg(QueryDef.rdiv(
-        sum(col("l_extendedprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
-        .as("adj_close"))
-  }
 
   val stgPricesSql: String = {
     val cases = Symbols.zipWithIndex.map { case (c, i) => s"WHEN $i THEN '$c'" }.mkString(" ")
@@ -69,12 +73,17 @@ object CrossAssetQueries {
     )"""
   }
 
-  /** as_of anchor: the dbt var or the corpus max ship date. */
+  /** as_of anchor: the dbt var or the corpus max ship date. The
+    * None-case fact scan is materialized once per session — every
+    * symPrices slice broadcasts this 1-row frame, and without the memo
+    * each slice re-ran the max() pass over the fact table. */
   def asOfFrame(s: SparkSession, dir: String, asOf: Option[String]): DataFrame =
     asOf match {
       case Some(d) => s.range(1).select(lit(d).cast("date").as("__asof"))
       case None =>
-        T(s, dir).lineitem.agg(max(to_date(col("l_shipdate"))).as("__asof"))
+        Materialized(s, dir, "asof_max_shipdate") {
+          T(s, dir).lineitem.agg(max(to_date(col("l_shipdate"))).as("__asof"))
+        }
     }
 
   def asOfSql(asOf: Option[String]): String =

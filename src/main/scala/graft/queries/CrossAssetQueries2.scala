@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.GraftFunctions._
 import graft.queries.QueryDef.r4
-import graft.runtime.Tables
+import graft.runtime.{Materialized, Tables}
 import graft.queries.CrossAssetQueries._
 import graft.queries.FredSignalQueries.{stgFred, stgFredSql}
 
@@ -37,13 +37,15 @@ object CrossAssetQueries2 {
   /** Commodity staging: (commodity_name, date, price) — exact-decimal
     * rounded mean (these values ship raw; see stgPrices). */
   def stgCommodities(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).lineitem
-      .groupBy(
-        when(col("l_orderkey") % 2 === 0, "gold").otherwise("copper").as("commodity_name"),
-        to_date(col("l_shipdate")).as("date"))
-      .agg(QueryDef.rdiv(
-        sum(col("l_extendedprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
-        .as("price"))
+    Materialized(s, dir, "stg_cross_asset_commodities") {
+      T(s, dir).lineitem
+        .groupBy(
+          when(col("l_orderkey") % 2 === 0, "gold").otherwise("copper").as("commodity_name"),
+          to_date(col("l_shipdate")).as("date"))
+        .agg(QueryDef.rdiv(
+          sum(col("l_extendedprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
+          .as("price"))
+    }
 
   val stgCommoditiesSql: String = s"""
     comm AS (
@@ -57,11 +59,13 @@ object CrossAssetQueries2 {
 
   /** Treasury staging: (date, bc_10year) — exact-decimal rounded mean. */
   def stgTreasury(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).orders
-      .groupBy(to_date(col("o_orderdate")).as("date"))
-      .agg(QueryDef.rdiv(
-        sum(col("o_totalprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
-        .as("bc_10year"))
+    Materialized(s, dir, "stg_cross_asset_treasury") {
+      T(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(QueryDef.rdiv(
+          sum(col("o_totalprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
+          .as("bc_10year"))
+    }
 
   val stgTreasurySql: String = s"""
     treas AS (
