@@ -101,6 +101,11 @@ object MarketsQueries2 {
         MarketAnalysisQueries.universe(s, dir, idxBucket, "INDEX"))
       .reduce(_ unionByName _)
       .persist()
+    // NOT persisted (measured A/B at sf0.1: ~7.4s unpersisted vs
+    // 7.4-15.7s persisted): each of the four consumers slices a FEW
+    // columns, and column pruning through the window family makes
+    // every re-run cheaper than materializing the full-width
+    // analysisReturn output once.
     val arAll = MarketAnalysisReturn.analysisReturn(uniAll)
 
     def dailyReturns(exchanges: Seq[String], symCol: String, retCol: String): DataFrame = {
