@@ -72,16 +72,35 @@ object GraphOps {
         .select(col("dst").as("node"), expr("rank_u12 div __deg").as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__in"))
-      ranks = nodes
+      val next = nodes
         .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(basePart) +
             expr(s"(coalesce(__in, 0L) * $dampNum) div $dampDen"))
             .as("rank_u12"))
         .localCheckpoint(true)
+      // The superseded round's checkpoint blocks are dead the moment
+      // `next` is (eagerly) materialized — drop them now instead of
+      // letting executor storage grow by one |V| block set per
+      // iteration until ContextCleaner GC (ADVICE r6).
+      dropCheckpoint(ranks)
+      ranks = next
     }
+    e2.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     ranks
   }
+
+  /** Release a localCheckpoint'ed DataFrame's storage. The blocks
+    * belong to the internal RDD captured in the checkpoint's
+    * LogicalRDD node (Dataset.unpersist only consults the SQL cache
+    * manager, which knows nothing of them). Callers must be done with
+    * the frame: the lineage is truncated, so nothing can recompute. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint scan; nothing to release
+    }
 
   /** Customer–supplier trade graph from the TPC-H-ish fixtures:
     * symmetric edges `c:<custkey> <-> s:<suppkey>` for every distinct

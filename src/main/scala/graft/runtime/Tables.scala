@@ -42,6 +42,7 @@ final case class Tables(spark: SparkSession, dir: String) {
             .repartition(Tables.CompactFiles)
             .write.mode("overwrite").parquet(tmp.getPath)
           if (!tmp.renameTo(dst)) Tables.deleteRecursively(tmp) // lost a cross-process race: winner's copy is identical
+          else Tables.pruneStale(name, dst.getName) // superseded corpus drops + crashed writers
         }
       }
       spark.read.parquet(dst.getPath)
@@ -56,10 +57,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = compacted("orders")
   def lineitem: DataFrame   = compacted("lineitem")
   /** events.parquet has shipped with two timestamp layouts across
-    * corpus drops; normalize either (see [[Tables.normalizeEventTs]]). */
+    * corpus drops; normalize either (see [[Tables.normalizeEventTs]]).
+    * Compacted like the other fact tables (the nanos layout lands as a
+    * plain LONG column in the scratch copy, the NTZ layout as
+    * TIMESTAMP_NTZ — normalizeEventTs dispatches on whichever the
+    * re-read infers, same as for the raw file). Layout safety: every
+    * consumer's result hash-matches a DuckDB oracle that reads the
+    * ORIGINAL file in its own order, so results are already proven
+    * row-order-independent. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.normalizeEventTs(t("events"))
+    Tables.normalizeEventTs(compacted("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -68,10 +76,11 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
-  /** Compact only sources big enough for layout to matter (at ≤2 MB a
-    * single decode task is already sub-100 ms and the rewrite would
-    * cost more than it saves — everything below sf0.1 skips). */
-  private val CompactMinBytes = 2L * 1024 * 1024
+  /** Compact only sources big enough for layout to matter (below
+    * ~1.5 MB a single decode task is already sub-100 ms and the
+    * rewrite would cost more than it saves — everything at sf≤0.01
+    * skips; at sf0.1 orders/lineitem/events all clear the floor). */
+  private val CompactMinBytes = 3L * 512 * 1024
   private val CompactFiles    = 16
 
   private lazy val compactRoot: java.io.File = {
@@ -85,6 +94,26 @@ object Tables {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Scratch hygiene, run after a successful compaction (ADVICE r6):
+    * the driver regenerates testdata between rounds, so every corpus
+    * drop minted a new (mtime, size) key and the old copies — plus
+    * any `.tmp-<pid>` debris from crashed writers — accumulated
+    * unboundedly. Deletes this table's dirs under any OTHER key, and
+    * its tmp dirs older than an hour (a live concurrent writer's tmp
+    * is younger; the rename-loser already removes its own). */
+  private def pruneStale(name: String, keep: String): Unit = {
+    val siblings = compactRoot.listFiles()
+    if (siblings == null) return
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    siblings.foreach { f =>
+      val n = f.getName
+      val superseded = n.startsWith(s"$name-") && n != keep
+      val crashedTmp = n.startsWith(s".$name-") && n.contains(".tmp-") &&
+        f.lastModified() < cutoff
+      if (superseded || crashedTmp) deleteRecursively(f)
+    }
   }
 
   /** events.parquet has carried TIMESTAMP(NANOS) — which Spark's
