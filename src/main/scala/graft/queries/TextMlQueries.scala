@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -93,29 +94,44 @@ object TextMlQueries {
       },
       Some(tfidfOracle)
     ),
-    // KMeans document clusters over normalized TF-IDF (rows-only)
+    // KMeans document clusters over normalized TF-IDF. Labels out of
+    // KMeans are arbitrary — canonicalize to the rank of each
+    // cluster's smallest member doc_id so the output is invariant
+    // under label permutation; the seeded fit itself is deterministic
+    // (single input partition at oracle scale). Oracle = stored golden
+    // of the seeded run at sf0.01 (VERDICT r6 #6); regenerate with
+    //   SPARK_GRAFT_ONLY=q_doc_clusters Verify /root/testdata/sf0.01 out
+    // and tools/golden_values.py whenever the corpus or the pipeline
+    // changes.
     QueryDef(
       "q_doc_clusters",
       (s, dir) => {
         val (withTfidf, _) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
-        TextML
+        val byCluster = TextML
           .cluster(withTfidf, k = 8)
           .groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("representative_doc"))
+        byCluster
+          .withColumn("cluster_id",
+            row_number().over(Window.orderBy(col("representative_doc"))).cast("int") - 1)
+          .select(col("cluster_id"), col("n_docs"), col("representative_doc"))
       },
-      None
+      TextMlGolden.docClusters
     ),
-    // LDA topic assignment counts (NMF stand-in; rows-only)
+    // NMF per-doc argmax topic assignments. The factorization is
+    // deterministic by construction (splitmix inits keyed on
+    // doc_id/term hash, Jacobi MU updates; NMF.scala:24-29) and also
+    // cross-checked numerically by tools/check_numeric.py's
+    // bit-mirrored implementation. Oracle = stored golden of the
+    // deterministic run at sf0.01 (VERDICT r6 #6); regenerate with
+    // Verify + tools/golden_values.py when the corpus changes.
     QueryDef(
       "q_doc_topics",
       (s, dir) => {
-        // true NMF (multiplicative updates) over the TF-IDF matrix;
-        // per-doc argmax topic, cross-checked numerically by
-        // tools/check_numeric.py's bit-mirrored implementation
         val (withTfidf, vocab) = TextML.tfidf(T(s, dir).documents, "text", vocabSize = 1000)
         TextML.nmfTopics(withTfidf, "doc_id", vocab, k = 8)
       },
-      None
+      TextMlGolden.docTopics
     ),
     // Hybrid search: keyword term-overlap + embedding cosine, fused
     // (semantic_search.py:8-36 — vector + keyword since no BM25)

@@ -111,6 +111,35 @@ class ModelRegistrySpecs extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("q_model_dag_mart: incremental run replaces batch-1 customer rows with batch-2") {
+    val sf = "/root/testdata/sf0.001"
+    val mart = graft.queries.ModelDagQueries.defs.head.query(spark, sf)
+      .select("custkey", "last_order_date").collect()
+      .map(r => r.getLong(0) -> r.getDate(1)).toMap
+    // every customer appears once (MERGE key = custkey)
+    assert(mart.nonEmpty)
+    // a customer with orders in BOTH batches must carry the batch-2
+    // (post-cutoff) aggregate — replacement, not append
+    val cutoff = java.sql.Date.valueOf("1995-07-01")
+    val both = spark.read.parquet(s"$sf/orders.parquet")
+      // fct inner-joins lineitem, so an order with no items never
+      // reaches the mart — scope the fixture set the same way
+      .join(spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("od") < to_date(lit("1995-07-01")), 1).otherwise(0)).as("b1"),
+        max(when(col("od") >= to_date(lit("1995-07-01")), 1).otherwise(0)).as("b2"))
+      .filter(col("b1") === 1 && col("b2") === 1)
+      .select("o_custkey").collect().map(_.getLong(0))
+    assert(both.nonEmpty, "fixture needs customers spanning both batches")
+    both.foreach { k =>
+      assert(!mart(k).before(cutoff), s"custkey $k kept a batch-1 row after the merge")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cycle and unknown-dep detection") {
     val cyc = new ModelRegistry()
       .register(ModelDef("mr_a", Seq("mr_b"), Materialization.View, d => d("mr_b")))

@@ -38,7 +38,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name, spark_df, duck_df):
+def compare(name, spark_df, duck_df, spark_arrow, duck_arrow):
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
@@ -58,9 +58,24 @@ def compare(name, spark_df, duck_df):
             return (f"DTYPE MISMATCH col={c} spark={a.dtype} duck={b.dtype} "
                     "(int-vs-float: driver hash stringizes '3' != '3.0')")
         if a_f and b_f:
-            na, nb = int(np.isnan(a.to_numpy()).sum()), int(np.isnan(b.to_numpy()).sum())
-            if na != nb:
-                return f"NAN/NULL ASYMMETRY col={c} spark_nan={na} duck_nan={nb}"
+            # NULL vs NaN must be counted SEPARATELY (ADVICE r6): after
+            # pd.read_parquet / .df() both collapse to np.nan, so equal
+            # totals can hide a Spark-NaN-vs-DuckDB-NULL asymmetry that
+            # the driver's stringized hash ("NaN" vs null) does catch.
+            # The arrow-level masks keep them distinct.
+            def null_nan(arrow_col):
+                import pyarrow.compute as pc
+                import pyarrow.types as pt
+                nulls = arrow_col.null_count
+                # decimal columns land float in pandas but have no NaN
+                if not pt.is_floating(arrow_col.type):
+                    return nulls, 0
+                nans = int(pc.sum(pc.is_nan(arrow_col)).as_py() or 0)
+                return nulls, nans
+            an, bn = null_nan(spark_arrow[c]), null_nan(duck_arrow[c])
+            if an != bn:
+                return (f"NAN/NULL ASYMMETRY col={c} spark(null,nan)={an} "
+                        f"duck(null,nan)={bn}")
     a, b = normalize(spark_df), normalize(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
@@ -98,9 +113,17 @@ def main():
             n_fail += 1
             continue
         try:
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+            # arrow copies ONLY for the null-vs-NaN distinction (they
+            # collapse to np.nan in the pandas frames); the value
+            # compare uses the same pandas conversions as the driver
+            spark_arrow = pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="default")
+            duck_arrow = con.execute(sql).fetch_arrow_table()
             spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
             duck_df = con.execute(sql).df()
-            err = compare(name, spark_df, duck_df)
+            err = compare(name, spark_df, duck_df, spark_arrow, duck_arrow)
         except Exception as e:
             err = f"EXCEPTION {type(e).__name__}: {e}"
         if err:
