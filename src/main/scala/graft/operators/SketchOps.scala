@@ -108,6 +108,65 @@ object SketchOps {
       .drop("__hk")
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005 §3): d hash rows
+    * × w buckets of additive BIGINT counters. Point estimate = the
+    * MINIMUM of a key's d bucket counters — an upper bound on the
+    * true frequency that overshoots by at most εN (ε = e/w) with
+    * probability 1−δ (δ = e^−d). The heavy-hitter primitive for
+    * streams/corpora too large to groupBy exactly: per-task state is
+    * bounded at d×w counters NO MATTER the key cardinality (partial
+    * aggregation collapses each task's fan-out before the exchange),
+    * and sketches merge by cell-wise ADDITION ([[cmsMerge]]) — so
+    * per-partition/per-day sketches roll up without ever re-shuffling
+    * raw keys.
+    *
+    * Deterministic like every sketch here: row r's hash is
+    * [[hash32]] of "r:key", so counters — and therefore estimates —
+    * are integers identical across runs, partitionings, and engines.
+    *
+    * Returns the dense cell table (row, bucket, cnt); absent cells
+    * are zero. */
+  def cmsSketch(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2; got d=$d w=$w")
+    df.select(col(keyCol).cast("string").as("__k"),
+        explode(array((0 until d).map(lit): _*)).as("row"))
+      .select(col("row"),
+        (hash32(concat(col("row").cast("string"), lit(":"), col("__k"))) % w).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge CMS sketches built with the same (d, w): cell-wise sum.
+    * The input is ≤ d×w rows per sketch — rollups over time/source
+    * partitions are metadata-sized. */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequency of each probe key against a CMS
+    * cell table: min over the key's d cells. The sketch is d×w rows —
+    * broadcast — so probing any number of candidate keys is a
+    * map-side join, no shuffle of the probe set. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      d: Int,
+      w: Int): DataFrame = {
+    val pb = probes
+      .select(col(keyCol))
+      .distinct()
+      .select(col(keyCol),
+        explode(array((0 until d).map(lit): _*)).as("row"))
+      .select(col(keyCol), col("row"),
+        (hash32(concat(col("row").cast("string"), lit(":"), col(keyCol).cast("string"))) % w)
+          .as("bucket"))
+    pb.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      // a key absent from every cell has true count 0; min(coalesce)
+      // keeps the estimator total (probe sets may overshoot the data)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Priority sampling (Duffield, Lund, Thorup 2007): a weighted
     * size-k sample per group whose Horvitz–Thompson estimator
     * Σ max(w_i, τ) (τ = the (k+1)-th largest priority) is unbiased

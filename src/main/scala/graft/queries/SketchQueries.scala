@@ -354,6 +354,70 @@ object SketchQueries {
           CAST(1 AS BIGINT) AS approx_within_bound
         FROM target t JOIN ranked r ON t.grp = r.grp AND t.rke = r.rk
       """)
+    ),
+    // Count-min-sketch heavy hitters: two half-period sketches of
+    // part-key frequencies MERGED cell-wise (never re-touching raw
+    // rows — the rollup the sketch exists for), probed for every
+    // candidate key, top-25 by estimate with the exact counts and
+    // overshoot alongside. Everything is BIGINT (md5-derived buckets,
+    // additive counters, min-of-d estimate), so both engines produce
+    // identical cells, identical estimates, and an identical top-k
+    // cut (ties broken by key).
+    QueryDef(
+      "q_cms_heavy_hitters",
+      (s, dir) => {
+        val d = 4
+        val w = 1024
+        val li = T(s, dir).lineitem
+          .select(col("l_partkey"), to_date(col("l_shipdate")).as("sd"))
+        val mid = lit("1995-07-01")
+        val sk = SketchOps.cmsMerge(
+          SketchOps.cmsSketch(li.filter(col("sd") < to_date(mid)), "l_partkey", d, w)
+            .unionByName(
+              SketchOps.cmsSketch(li.filter(col("sd") >= to_date(mid)), "l_partkey", d, w)))
+        val est = SketchOps.cmsEstimate(sk, li, "l_partkey", d, w)
+        val exact = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("true_count"))
+        val wk = Window.orderBy(col("est_count").desc, col("l_partkey").asc)
+        est.join(exact, Seq("l_partkey"))
+          .withColumn("__rn", row_number().over(wk))
+          .filter(col("__rn") <= 25)
+          .drop("__rn")
+          .select(col("l_partkey").as("part_key"),
+            col("est_count"), col("true_count"),
+            (col("est_count") - col("true_count")).as("overshoot"))
+      },
+      Some {
+        val d = 4
+        val w = 1024
+        val h = oHash32("CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)")
+        s"""
+        WITH rows_d AS (SELECT UNNEST(RANGE(0, $d)) AS r),
+        cells AS (
+          SELECT r, $h % $w AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem CROSS JOIN rows_d
+          GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT l_partkey FROM lineitem),
+        pb AS (
+          SELECT l_partkey, r, $h % $w AS bucket
+          FROM probes CROSS JOIN rows_d
+        ),
+        est AS (
+          SELECT pb.l_partkey, MIN(COALESCE(c.cnt, 0)) AS est_count
+          FROM pb LEFT JOIN cells c ON pb.r = c.r AND pb.bucket = c.bucket
+          GROUP BY 1
+        ),
+        exact AS (
+          SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM lineitem GROUP BY 1
+        )
+        SELECT e.l_partkey AS part_key, e.est_count, x.true_count,
+          e.est_count - x.true_count AS overshoot
+        FROM est e JOIN exact x USING (l_partkey)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY e.est_count DESC, e.l_partkey ASC) <= 25
+      """
+      }
     )
   )
 }

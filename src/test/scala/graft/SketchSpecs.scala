@@ -110,4 +110,38 @@ class SketchSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("est_total_weight")).toMap
     assert(out2("large") == est)
   }
+
+  test("CMS: merge of split sketches == single-pass sketch; estimates bound true counts") {
+    import spark.implicits._
+    val d = 4
+    val w = 64 // small width → collisions guaranteed, bound still holds
+    val keys = (0 until 2000).map(i => i % 97) // skewed: each key ~20x
+    val df = keys.toDF("k")
+    val whole = SketchOps.cmsSketch(df, "k", d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = SketchOps.cmsMerge(
+      SketchOps.cmsSketch(df.filter(col("k") % 2 === 0), "k", d, w)
+        .unionByName(SketchOps.cmsSketch(df.filter(col("k") % 2 === 1), "k", d, w)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "cell-wise merge must equal the single-pass sketch")
+
+    val est = SketchOps.cmsEstimate(
+      SketchOps.cmsSketch(df, "k", d, w), df, "k", d, w)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS estimate must upper-bound the true count (key $k)")
+    }
+    // the min-of-d bound is not vacuous: total overshoot stays well
+    // under the εN worst case for every row
+    val overshoot = truth.map { case (k, n) => est(k) - n }.sum
+    assert(overshoot < keys.size.toLong * d, s"overshoot=$overshoot")
+
+    // a probe key absent from the data estimates from existing cells
+    // (>= 0); an empty-cell key estimates exactly 0
+    val probe = SketchOps.cmsEstimate(
+      SketchOps.cmsSketch(df, "k", d, w), Seq(424242).toDF("k"), "k", d, w)
+      .collect().head.getLong(1)
+    assert(probe >= 0L)
+  }
 }
