@@ -42,5 +42,10 @@ class GraphSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = GraphOps.pageRankScaled(edges.orderBy(col("dst")).repartition(7), iterations = 6)
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r1 == r2, "byte-stable under repartitioning")
+    // completeInbound skips the re-anchoring join; on a symmetrized
+    // graph the result must be bit-identical to the general path
+    val r3 = GraphOps.pageRankScaled(edges, iterations = 6, completeInbound = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1 == r3, "completeInbound fast path must not change results")
   }
 }
