@@ -136,14 +136,27 @@ object FredQueries {
       (s, dir) => {
         val fred   = fredSeries(s, dir)
         val anchor = fred.agg(max(col("d")).as("end_d")).select(col("end_d"), add_months(col("end_d"), -12).as("start_d"))
-        // series_grain: observation count inside the trailing year
-        val grain = fred
+        // ONE aggregation pass computes both the monthly cells AND the
+        // trailing-year observation counts the grain gate needs (the
+        // round-6 shape paid a separate grain pass over the staging
+        // plus a staging-grain join before aggregating): each monthly
+        // cell carries its in-window raw-row count; the per-series
+        // grain is then a rollup of the tiny monthly frame, broadcast
+        // back. Cells and counts are identical by construction, so the
+        // oracle (separate grain CTE) hash-matches unchanged.
+        val monthly = fred
           .crossJoin(broadcast(anchor))
-          .filter(col("d") >= col("start_d") && col("d") <= col("end_d"))
-          .groupBy(col("series_code"))
-          .agg(count(lit(1)).as("entry_count"))
+          .groupBy(col("series_code"), col("series_name"),
+            trunc(col("d"), "month").as("month"))
+          .agg(
+            r4(dsum(col("value")) / count(lit(1))).as("clean_value"),
+            sum(when(col("d") >= col("start_d") && col("d") <= col("end_d"), 1L)
+              .otherwise(0L)).as("win_cnt"))
+        val grain = monthly
+          .groupBy(col("series_code").as("gsc"))
+          .agg(sum(col("win_cnt")).as("entry_count"))
           .select(
-            col("series_code"),
+            col("gsc"),
             when(col("entry_count") >= 200, "Daily")
               .when(col("entry_count") >= 50, "Weekly")
               .when(col("entry_count") >= 9, "Monthly")
@@ -152,34 +165,35 @@ object FredQueries {
               .otherwise("Limited Data")
               .as("date_grain")
           )
-        val aggs = fred
-          .join(grain, Seq("series_code"))
-          .filter(col("date_grain").isin("Daily", "Monthly", "Quarterly", "Weekly"))
-          .groupBy(col("series_code"), col("series_name"), col("date_grain"),
-            trunc(col("d"), "month").as("month"))
-          .agg(r4(dsum(col("value")) / count(lit(1))).as("clean_value"))
-        val w = Window.partitionBy(col("series_code")).orderBy(col("month"))
-        val lagged = aggs
-          .withColumn("v3", lag(col("clean_value"), 3).over(w))
-          .withColumn("v6", lag(col("clean_value"), 6).over(w))
-          .withColumn("v1y", lag(col("clean_value"), 12).over(w))
+        // Output keeps only the LATEST month per series, and its
+        // lag-3/6/12 values are positional among the series' month
+        // cells — one aggregation collecting the sorted cell array
+        // replaces the window-lag pass + latest-month self-join (the
+        // fredSnapshot pattern; bounded state, months per series).
+        val cur = element_at(col("cells"), col("n"))
+        def lagv(off: Int) =
+          when(col("n") > off, element_at(col("cells"), col("n") - off).getField("clean_value"))
         // THE BUG (fred_series_latest_aggregates.sql:96-106): 6m/1y
         // changes keep the 3m numerator; only the denominator switches.
-        val calc = lagged.select(
-          col("series_code"), col("series_name"), col("month"),
-          col("clean_value").as("current_value"),
-          when(col("v3").isNull || col("v3") === 0, lit(null))
-            .otherwise(round((col("clean_value") - col("v3")) / col("v3"), 2)).as("pct_change_3m"),
-          when(col("v6").isNull || col("v6") === 0, lit(null))
-            .otherwise(round((col("clean_value") - col("v3")) / col("v6"), 2)).as("pct_change_6m"),
-          when(col("v1y").isNull || col("v1y") === 0, lit(null))
-            .otherwise(round((col("clean_value") - col("v3")) / col("v1y"), 2)).as("pct_change_1y"),
-          col("date_grain")
-        )
-        val latest = calc.groupBy(col("series_code").as("mc")).agg(max(col("month")).as("mm"))
-        calc.join(latest, col("series_code") === col("mc") && col("month") === col("mm"))
-          .select("series_code", "series_name", "month", "current_value",
-            "pct_change_3m", "pct_change_6m", "pct_change_1y", "date_grain")
+        def pct(off: Int) = {
+          val v = lagv(off)
+          when(v.isNull || v === 0, lit(null))
+            .otherwise(round((cur.getField("clean_value") - lagv(3)) / v, 2))
+        }
+        monthly
+          .join(broadcast(grain), col("series_code") === col("gsc"))
+          .filter(col("date_grain").isin("Daily", "Monthly", "Quarterly", "Weekly"))
+          .groupBy(col("series_code"), col("series_name"), col("date_grain"))
+          .agg(sort_array(collect_list(struct(col("month"), col("clean_value")))).as("cells"))
+          .withColumn("n", size(col("cells")))
+          .select(
+            col("series_code"), col("series_name"),
+            cur.getField("month").as("month"),
+            cur.getField("clean_value").as("current_value"),
+            pct(3).as("pct_change_3m"),
+            pct(6).as("pct_change_6m"),
+            pct(12).as("pct_change_1y"),
+            col("date_grain"))
       },
       Some(s"""
         WITH $fredSeriesSql,
