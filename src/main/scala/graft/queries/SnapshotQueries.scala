@@ -470,16 +470,32 @@ object SnapshotQueries {
     // aggregation of amplified rows at all. Decimal sums are exact, so
     // the cells equal the amplified-aggregation values bit-for-bit.
     val keys = Seq(col("series_code"), col("series_name"))
-    val fullMonths = fred
+    // ONE pass over the staging for both cell kinds: full-month cells
+    // carry conditional day-1 sums alongside, so the edge cells for
+    // the snapshot month read from the same aggregate instead of a
+    // second filtered groupBy (cells identical: the `cnt_d1 > 0`
+    // filter reproduces exactly the groups the filtered aggregation
+    // would have formed).
+    val isDay1 = col("d") === trunc(col("d"), "month")
+    val cells = fred
       .groupBy(keys :+ trunc(col("d"), "month").as("month"): _*)
-      .agg(sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"), count(lit(1)).as("cnt"))
-    val day1Cells = fred
-      .filter(col("d") === trunc(col("d"), "month"))
-      .groupBy(keys :+ trunc(col("d"), "month").as("month"): _*)
-      .agg(sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"), count(lit(1)).as("cnt"))
-    val monthly = fullMonths.join(broadcast(spine),
+      .agg(
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_dec"),
+        count(lit(1)).as("cnt"),
+        sum(when(isDay1, col("value").cast(DecimalType(18, 6)))).as("sum_dec_d1"),
+        count(when(isDay1, lit(1))).as("cnt_d1"))
+      // two consumers (trailing-window join + edge-cell join) — persist
+      // so the staging-wide aggregation runs once, not per branch
+      .persist()
+    val monthly = cells
+      .join(broadcast(spine),
         col("month") >= add_months(col("snapshot_date"), -12) && col("month") < col("snapshot_date"))
-      .unionByName(day1Cells.join(broadcast(spine), col("month") === col("snapshot_date")))
+      .select(col("snapshot_date") +: (keys :+ col("month") :+ col("sum_dec") :+ col("cnt")): _*)
+      .unionByName(cells
+        .join(broadcast(spine), col("month") === col("snapshot_date"))
+        .filter(col("cnt_d1") > 0)
+        .select(col("snapshot_date") +: (keys :+ col("month") :+
+          col("sum_dec_d1").as("sum_dec") :+ col("cnt_d1").as("cnt")): _*))
       // monthly averages are int-ratio quotients of a decimal sum —
       // they land on exact .xxxx5 boundaries, so divide in DECIMAL
       // (exact half-up) rather than rounding a double (rdiv pattern)
