@@ -236,6 +236,141 @@ object CurationQueries {
         JOIN tot t ON a.source = t.source
       """
       }
+    ),
+    // The curation FUNNEL end-to-end: exact dedup -> quality rules ->
+    // benchmark decontamination -> per-source cap, reported as a
+    // per-source survivor funnel with final token totals — the one-
+    // page accounting a corpus run publishes, and the composition
+    // proof that the pipeline stages (each oracle-checked alone) chain
+    // correctly. Stage semantics reuse the standalone queries':
+    // q_dedup_exact_hash keepers, q_quality_filter_rules reasons,
+    // q_benchmark_contamination flags (bench = src0, excluded from the
+    // funnel), capPerKey's salted-md5 rank (cap 40). Everything
+    // aggregated is an exact integer, so the DuckDB replay matches
+    // bit-for-bit.
+    QueryDef(
+      "q_curation_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, dir).documents
+        val t   = TextOps.tokens(col("text"))
+        val n   = size(t).cast("long")
+        val awl = TextOps.avgTokenLen(col("text"))
+        val pr  = TextOps.punctRatio(col("text"))
+        val dr  = when(n > 0, size(array_distinct(t)).cast("double") / n)
+          .otherwise(lit(0.0))
+        val dropReason = when(n < 20, "too_few_tokens")
+          .when(n > 5000, "too_many_tokens")
+          .when(awl < 3.0 || awl > 10.0, "word_length_out_of_band")
+          .when(pr > 0.2, "symbol_ratio")
+          .when(dr < 0.3, "repetitive")
+        val contaminated = CurationOps.contaminationPairs(docs, "doc_id", "text",
+            isBench = col("source") === "src0", shingleN = 3,
+            minShared = 2, minBenchFrac = 0.2)
+          .filter(col("contaminated"))
+          .select(col("train_id").as("c_id")).distinct()
+        val staged = docs.filter(col("source") =!= "src0")
+          .withColumn("is_keeper",
+            col("doc_id") === min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .withColumn("q_keep", dropReason.isNull)
+          .join(contaminated, col("doc_id") === col("c_id"), "left")
+          .withColumn("clean", col("c_id").isNull)
+        val surv = staged
+          .filter(col("is_keeper") && col("q_keep") && col("clean"))
+          .select(col("doc_id"), col("source"))
+        val capped = CurationOps.capPerKey(surv, "doc_id", "source", cap = 40)
+          .select(col("doc_id").as("k_id"), col("kept"))
+        staged.join(capped, col("doc_id") === col("k_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_raw"),
+            sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_after_dedup"),
+            sum(when(col("is_keeper") && col("q_keep"), 1L).otherwise(0L))
+              .as("n_after_quality"),
+            sum(when(col("is_keeper") && col("q_keep") && col("clean"), 1L).otherwise(0L))
+              .as("n_after_decontam"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_after_cap"),
+            sum(when(col("kept"), TextOps.estBpeTokens(col("text"))).otherwise(0L))
+              .as("tokens_after_cap"))
+      },
+      Some(s"""
+        WITH $tokSql,
+        base AS (
+          SELECT doc_id, source, t, text FROM toks WHERE source <> 'src0'
+        ),
+        ded AS (
+          SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+          FROM base
+        ),
+        feat AS (
+          SELECT *,
+            CAST(len(t) AS BIGINT) AS n_tokens,
+            CASE WHEN len(t) > 0
+                 THEN list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t) END AS awl,
+            CASE WHEN len(text) > 0 THEN
+              (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]-]', '', 'g'))) * 1.0 / len(text)
+              ELSE 0.0 END AS pr,
+            CASE WHEN len(t) > 0 THEN len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END AS dr
+          FROM ded
+        ),
+        ruled AS (
+          SELECT *,
+            CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+                 WHEN n_tokens > 5000 THEN 'too_many_tokens'
+                 WHEN awl < 3.0 OR awl > 10.0 THEN 'word_length_out_of_band'
+                 WHEN pr > 0.2 THEN 'symbol_ratio'
+                 WHEN dr < 0.3 THEN 'repetitive'
+            END IS NULL AS q_keep
+          FROM feat
+        ),
+        sh AS (
+          SELECT doc_id, source,
+            list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks WHERE len(t) >= 3
+        ),
+        bex AS (
+          SELECT doc_id AS bench_id, CAST(len(s) AS BIGINT) AS bench_ngrams,
+                 UNNEST(s) AS g
+          FROM sh WHERE source = 'src0'
+        ),
+        tex AS (
+          SELECT doc_id AS train_id, UNNEST(s) AS g
+          FROM sh WHERE source <> 'src0'
+        ),
+        contam AS (
+          SELECT DISTINCT train_id FROM (
+            SELECT train_id, bench_id, bench_ngrams, COUNT(*) AS n_shared
+            FROM tex JOIN bex USING (g)
+            GROUP BY 1, 2, 3
+          ) WHERE n_shared >= 2 AND CAST(n_shared AS DOUBLE) / bench_ngrams >= 0.2
+        ),
+        st AS (
+          SELECT r.*, c.train_id IS NULL AS clean
+          FROM ruled r LEFT JOIN contam c ON r.doc_id = c.train_id
+        ),
+        surv AS (SELECT doc_id, source FROM st WHERE is_keeper AND q_keep AND clean),
+        capped AS (
+          SELECT doc_id,
+            ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) <= 40
+              AS kept
+          FROM surv
+        )
+        SELECT st.source,
+          CAST(COUNT(*) AS BIGINT) AS n_raw,
+          CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+          CAST(SUM(CASE WHEN is_keeper AND q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+          CAST(SUM(CASE WHEN is_keeper AND q_keep AND clean THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_after_decontam,
+          CAST(SUM(CASE WHEN k.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after_cap,
+          CAST(SUM(CASE WHEN k.kept
+                        THEN GREATEST(len(st.t), CAST(CEIL(len(st.text) / 4.0) AS BIGINT))
+                        ELSE 0 END) AS BIGINT) AS tokens_after_cap
+        FROM st LEFT JOIN capped k ON st.doc_id = k.doc_id
+        GROUP BY 1
+      """)
     )
   )
 }
