@@ -216,6 +216,34 @@ object StreamingQueries {
           session_idx = MAX(session_idx) OVER (PARTITION BY user_id) AS is_open
         FROM agg
       """)
+    ),
+    // Streaming count-min sketch: the CMS cell table maintained AS the
+    // streaming aggregation state — per-key frequency tracking whose
+    // state is bounded at d x w counters no matter the stream's key
+    // cardinality (the property that makes a sketch the right
+    // streaming-state shape at 100 TB: a plain per-key count's state
+    // grows with distinct keys; this never does). Complete mode under
+    // AvailableNow lands the final cells, which equal the batch sketch
+    // exactly — same deterministic md5 buckets, same BIGINT adds.
+    QueryDef(
+      "q_stream_cms_cells",
+      (s, dir) => {
+        val cells = graft.operators.SketchOps.cmsSketch(
+          stream(s, dir, "lineitem").select(col("l_partkey")),
+          "l_partkey", d = 4, w = 1024)
+        runToTable("stream_cms_cells", cells, "complete")
+      },
+      Some {
+        val h = (0 until 8).map { i =>
+          val d = s"ascii(substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), ${i + 1}, 1))"
+          s"CAST(CASE WHEN $d <= 57 THEN $d - 48 ELSE $d - 87 END AS BIGINT) * ${1L << (4 * (7 - i))}"
+        }.mkString("(", " + ", ")")
+        s"""
+        SELECT r AS row, $h % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS r)
+        GROUP BY 1, 2
+      """
+      }
     )
   )
 }
