@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,6 +230,143 @@ object BacktestQueries {
         FROM fwd f LEFT JOIN bench b ON f.d = b.d
         WHERE f.symbol <> 'N'
       """)
+    ),
+    // Recommendation-accuracy backtest evaluator (ref backtest_
+    // evaluator.py:33-103 recommendation_accuracy_metric + backtest_
+    // utils.py:156-290 get_asset_returns): monthly average closes per
+    // symbol, 1/3/6-month forward pct changes at a fixed backtest
+    // month, outperformance vs the benchmark symbol, direction hits
+    // (OVERWEIGHT wins when it outperforms, UNDERWEIGHT when it
+    // underperforms), and the per-recommendation hit-rate score.
+    // The reference's evaluator SQL targets monthly_avg_close/
+    // month_date columns its analysis_return tables no longer expose
+    // (schema drift); this implements the intended monthly-grain
+    // semantics directly. Directions are assigned deterministically
+    // from the symbol index (even -> OVERWEIGHT); benchmark = SP_0.
+    QueryDef(
+      "q_backtest_recommendation_eval",
+      (s, dir) => {
+        val BacktestMonth = "1998-01-01"
+        val uni = MarketAnalysisQueries.universe(
+          s, dir, concat(lit("SP_"), col("l_suppkey") % 100), "NYSE")
+        val monthly = uni
+          .groupBy(col("symbol"), trunc(col("date"), "month").as("m"))
+          .agg(QueryDef.rdiv(
+            sum(col("close").cast(org.apache.spark.sql.types.DecimalType(18, 6))),
+            count(lit(1)), 4).as("mclose"))
+        val w = Window.partitionBy(col("symbol")).orderBy(col("m"))
+        def pct(k: Int) = {
+          val fwd = lead(col("mclose"), k).over(w)
+          when(fwd.isNotNull && col("mclose") > 0,
+            QueryDef.rsnap((fwd - col("mclose")) / col("mclose") * 100, 2))
+        }
+        val at = monthly
+          .withColumn("p1", pct(1)).withColumn("p3", pct(3)).withColumn("p6", pct(6))
+          .filter(col("m") === to_date(lit(BacktestMonth)))
+        val bench = at.filter(col("symbol") === "SP_0")
+          .select(col("p1").as("b1"), col("p3").as("b3"), col("p6").as("b6"))
+        val dirCol = when(substring(col("symbol"), 4, 10).cast("int") % 2 === 0,
+          "OVERWEIGHT").otherwise("UNDERWEIGHT")
+        def outp(p: String, b: String) = QueryDef.rsnap(col(p) - col(b), 2)
+        def hit(o: Column) =
+          when(o.isNull, lit(null))
+            .otherwise(
+              (col("direction") === "OVERWEIGHT" && o > 0) ||
+                (col("direction") === "UNDERWEIGHT" && o < 0))
+        val scored = at.filter(col("symbol") =!= "SP_0")
+          .crossJoin(broadcast(bench))
+          .withColumn("direction", dirCol)
+          .withColumn("outp_1m", outp("p1", "b1"))
+          .withColumn("outp_3m", outp("p3", "b3"))
+          .withColumn("outp_6m", outp("p6", "b6"))
+          .withColumn("hit_1m", hit(col("outp_1m")))
+          .withColumn("hit_3m", hit(col("outp_3m")))
+          .withColumn("hit_6m", hit(col("outp_6m")))
+        def b2l(c: Column) = when(c, 1L).otherwise(0L)
+        val hits = b2l(coalesce(col("hit_1m"), lit(false))) +
+          b2l(coalesce(col("hit_3m"), lit(false))) +
+          b2l(coalesce(col("hit_6m"), lit(false)))
+        val periods = col("outp_1m").isNotNull.cast("long") +
+          col("outp_3m").isNotNull.cast("long") + col("outp_6m").isNotNull.cast("long")
+        scored.select(
+          col("symbol"), col("direction"),
+          col("p1").as("actual_1m"), col("p3").as("actual_3m"), col("p6").as("actual_6m"),
+          col("b1").as("bench_1m"), col("b3").as("bench_3m"), col("b6").as("bench_6m"),
+          col("outp_1m"), col("outp_3m"), col("outp_6m"),
+          col("hit_1m"), col("hit_3m"), col("hit_6m"),
+          hits.as("total_hits"), periods.as("total_periods"),
+          when(periods > 0, QueryDef.rdiv(
+            hits.cast(org.apache.spark.sql.types.DecimalType(18, 6)), periods, 4))
+            .otherwise(0.0).as("accuracy_score"))
+      },
+      Some {
+        val uniSql = MarketAnalysisQueries.uniCte("'SP_' || CAST(l_suppkey % 100 AS VARCHAR)", "NYSE")
+        s"""
+        WITH $uniSql,
+        monthly AS (
+          SELECT symbol, CAST(DATE_TRUNC('month', date) AS DATE) AS m,
+            ${QueryDef.oDivRound(
+          "CAST(SUM(CAST(close AS DECIMAL(18,6))) * 1000000 AS HUGEINT)", "COUNT(*)", 4)} AS mclose
+          FROM uni GROUP BY 1, 2
+        ),
+        led AS (
+          SELECT symbol, m, mclose,
+            LEAD(mclose, 1) OVER w AS f1,
+            LEAD(mclose, 3) OVER w AS f3,
+            LEAD(mclose, 6) OVER w AS f6
+          FROM monthly WINDOW w AS (PARTITION BY symbol ORDER BY m)
+        ),
+        at AS (
+          SELECT symbol,
+            CASE WHEN f1 IS NOT NULL AND mclose > 0 THEN ${QueryDef.oSnap("(f1 - mclose) / mclose * 100", 2)} END AS p1,
+            CASE WHEN f3 IS NOT NULL AND mclose > 0 THEN ${QueryDef.oSnap("(f3 - mclose) / mclose * 100", 2)} END AS p3,
+            CASE WHEN f6 IS NOT NULL AND mclose > 0 THEN ${QueryDef.oSnap("(f6 - mclose) / mclose * 100", 2)} END AS p6
+          FROM led WHERE m = DATE '1998-01-01'
+        ),
+        bench AS (SELECT p1 AS b1, p3 AS b3, p6 AS b6 FROM at WHERE symbol = 'SP_0'),
+        scored AS (
+          SELECT a.symbol,
+            CASE WHEN CAST(substr(a.symbol, 4) AS INTEGER) % 2 = 0
+                 THEN 'OVERWEIGHT' ELSE 'UNDERWEIGHT' END AS direction,
+            a.p1, a.p3, a.p6, b.b1, b.b3, b.b6,
+            ${QueryDef.oSnap("a.p1 - b.b1", 2)} AS outp_1m,
+            ${QueryDef.oSnap("a.p3 - b.b3", 2)} AS outp_3m,
+            ${QueryDef.oSnap("a.p6 - b.b6", 2)} AS outp_6m
+          FROM at a CROSS JOIN bench b
+          WHERE a.symbol <> 'SP_0'
+        ),
+        hits AS (
+          SELECT *,
+            CASE WHEN outp_1m IS NULL THEN NULL
+                 ELSE (direction = 'OVERWEIGHT' AND outp_1m > 0)
+                   OR (direction = 'UNDERWEIGHT' AND outp_1m < 0) END AS hit_1m,
+            CASE WHEN outp_3m IS NULL THEN NULL
+                 ELSE (direction = 'OVERWEIGHT' AND outp_3m > 0)
+                   OR (direction = 'UNDERWEIGHT' AND outp_3m < 0) END AS hit_3m,
+            CASE WHEN outp_6m IS NULL THEN NULL
+                 ELSE (direction = 'OVERWEIGHT' AND outp_6m > 0)
+                   OR (direction = 'UNDERWEIGHT' AND outp_6m < 0) END AS hit_6m
+          FROM scored
+        )
+        SELECT symbol, direction,
+          p1 AS actual_1m, p3 AS actual_3m, p6 AS actual_6m,
+          b1 AS bench_1m, b3 AS bench_3m, b6 AS bench_6m,
+          outp_1m, outp_3m, outp_6m, hit_1m, hit_3m, hit_6m,
+          CAST(COALESCE(CAST(hit_1m AS INTEGER), 0) + COALESCE(CAST(hit_3m AS INTEGER), 0)
+             + COALESCE(CAST(hit_6m AS INTEGER), 0) AS BIGINT) AS total_hits,
+          CAST((outp_1m IS NOT NULL)::INTEGER + (outp_3m IS NOT NULL)::INTEGER
+             + (outp_6m IS NOT NULL)::INTEGER AS BIGINT) AS total_periods,
+          CASE WHEN (outp_1m IS NOT NULL)::INTEGER + (outp_3m IS NOT NULL)::INTEGER
+                  + (outp_6m IS NOT NULL)::INTEGER > 0
+               THEN ${QueryDef.oDivRound(
+          """CAST((COALESCE(CAST(hit_1m AS INTEGER), 0) + COALESCE(CAST(hit_3m AS INTEGER), 0)
+             + COALESCE(CAST(hit_6m AS INTEGER), 0)) * 1000000 AS HUGEINT)""",
+          """((outp_1m IS NOT NULL)::INTEGER + (outp_3m IS NOT NULL)::INTEGER
+             + (outp_6m IS NOT NULL)::INTEGER)""", 4)}
+               ELSE 0.0 END AS accuracy_score
+        FROM hits
+      """
+      }
     )
   )
 }
