@@ -127,6 +127,137 @@ object FredQueries {
       GROUP BY 1, 2, 3
     )"""
 
+  /** Grouped per-series month-cell frame: (series_code, series_name,
+    * date_grain, cells sorted by month, n) — the shared core of
+    * fred_series_latest_aggregates and its per-month consumers.
+    *
+    * ONE aggregation pass computes both the monthly cells AND the
+    * trailing-year observation counts the grain gate needs (the
+    * round-6 shape paid a separate grain pass over the staging plus a
+    * staging-grain join before aggregating): each monthly cell carries
+    * its in-window raw-row count; the per-series grain is then a
+    * rollup of the tiny monthly frame, broadcast back. Cells and
+    * counts are identical by construction, so the oracle (separate
+    * grain CTE) hash-matches unchanged. */
+  private def fredCellsGrouped(s: SparkSession, dir: String): DataFrame = {
+    val fred   = fredSeries(s, dir)
+    val anchor = fred.agg(max(col("d")).as("end_d")).select(col("end_d"), add_months(col("end_d"), -12).as("start_d"))
+    val monthly = fred
+      .crossJoin(broadcast(anchor))
+      .groupBy(col("series_code"), col("series_name"),
+        trunc(col("d"), "month").as("month"))
+      .agg(
+        // rdiv, not round(double): monthly means of 4dp daily values
+        // land exactly on .xxxx5 half boundaries (count=2 makes the
+        // 5th digit 0/5), where double rounding is engine-dependent —
+        // the exact decimal division is the boundary-proof pair with
+        // the oracle's oDivRound
+        QueryDef.rdiv(sum(col("value").cast(DecimalType(18, 6))), count(lit(1)), 4)
+          .as("clean_value"),
+        sum(when(col("d") >= col("start_d") && col("d") <= col("end_d"), 1L)
+          .otherwise(0L)).as("win_cnt"))
+    val grain = monthly
+      .groupBy(col("series_code").as("gsc"))
+      .agg(sum(col("win_cnt")).as("entry_count"))
+      .select(
+        col("gsc"),
+        when(col("entry_count") >= 200, "Daily")
+          .when(col("entry_count") >= 50, "Weekly")
+          .when(col("entry_count") >= 9, "Monthly")
+          .when(col("entry_count") >= 2, "Quarterly")
+          .when(col("entry_count") >= 1, "Annually")
+          .otherwise("Limited Data")
+          .as("date_grain")
+      )
+    monthly
+      .join(broadcast(grain), col("series_code") === col("gsc"))
+      .filter(col("date_grain").isin("Daily", "Monthly", "Quarterly", "Weekly"))
+      .groupBy(col("series_code"), col("series_name"), col("date_grain"))
+      .agg(sort_array(collect_list(struct(col("month"), col("clean_value")))).as("cells"))
+      .withColumn("n", size(col("cells")))
+  }
+
+  /** Positional pct change at cell index `at` vs `off` cells earlier —
+    * with THE BUG (fred_series_latest_aggregates.sql:96-106): 6m/1y
+    * changes keep the 3m numerator; only the denominator switches. */
+  private def cellPct(at: Column, off: Int): Column = {
+    def cellAt(i: Column) = element_at(col("cells"), i).getField("clean_value")
+    val cur = cellAt(at)
+    val v   = when(at > off, cellAt(at - off))
+    val v3  = when(at > 3, cellAt(at - 3))
+    // rsnap, not round(double): ratios of exact 4dp cells can land on
+    // .xx5 halves where raw-double rounding is engine-dependent
+    when(v.isNull || v === 0, lit(null)).otherwise(QueryDef.rsnap((cur - v3) / v, 2))
+  }
+
+  /** Per-MONTH calc rows (series_code, series_name, month,
+    * current_value, pct_change_3m/6m/1y, date_grain) — the
+    * batch-equivalent of the reference's ACCUMULATED incremental
+    * agent_fred_series_latest_aggregates table (each dbt run merges
+    * its latest month by (series, month), so over time the table
+    * holds monthly history; consumers like data_point_finder.py query
+    * it with month-range predicates). */
+  def fredMonthlyCalc(s: SparkSession, dir: String): DataFrame =
+    fredCellsGrouped(s, dir)
+      .select(col("series_code"), col("series_name"), col("date_grain"), col("cells"),
+        posexplode(col("cells")))
+      .withColumn("i", col("pos") + 1)
+      .select(
+        col("series_code"), col("series_name"),
+        col("col").getField("month").as("month"),
+        col("col").getField("clean_value").as("current_value"),
+        cellPct(col("i"), 3).as("pct_change_3m"),
+        cellPct(col("i"), 6).as("pct_change_6m"),
+        cellPct(col("i"), 12).as("pct_change_1y"),
+        col("date_grain"))
+
+  /** Oracle CTE chain ending at `calc` — per-month rows mirroring
+    * [[fredMonthlyCalc]]; q_fred_latest_aggregates adds the
+    * latest-month join on top. */
+  val fredCalcCtes: String = s"""
+    $fredSeriesSql,
+    bounds AS (SELECT MAX(d) AS end_d, MAX(d) - INTERVAL 12 MONTH AS start_d FROM fred),
+    grain AS (
+      SELECT series_code,
+        CASE WHEN COUNT(*) >= 200 THEN 'Daily'
+             WHEN COUNT(*) >= 50 THEN 'Weekly'
+             WHEN COUNT(*) >= 9 THEN 'Monthly'
+             WHEN COUNT(*) >= 2 THEN 'Quarterly'
+             WHEN COUNT(*) >= 1 THEN 'Annually'
+             ELSE 'Limited Data' END AS date_grain
+      FROM fred, bounds
+      WHERE d >= start_d AND d <= end_d
+      GROUP BY series_code
+    ),
+    aggs AS (
+      SELECT f.series_code, f.series_name, g.date_grain,
+        CAST(DATE_TRUNC('month', f.d) AS DATE) AS month,
+        ${QueryDef.oDivRound(
+      "CAST(SUM(CAST(f.value AS DECIMAL(18,6))) * 1000000 AS HUGEINT)", "COUNT(*)", 4)} AS clean_value
+      FROM fred f JOIN grain g ON f.series_code = g.series_code
+      WHERE g.date_grain IN ('Daily', 'Monthly', 'Quarterly', 'Weekly')
+      GROUP BY 1, 2, 3, 4
+    ),
+    lagged AS (
+      SELECT *,
+        LAG(clean_value, 3) OVER w AS v3,
+        LAG(clean_value, 6) OVER w AS v6,
+        LAG(clean_value, 12) OVER w AS v1y
+      FROM aggs
+      WINDOW w AS (PARTITION BY series_code ORDER BY month)
+    ),
+    calc AS (
+      SELECT series_code, series_name, month, clean_value AS current_value,
+        CASE WHEN v3 IS NULL OR v3 = 0 THEN NULL
+             ELSE ${QueryDef.oSnap("(clean_value - v3) / v3", 2)} END AS pct_change_3m,
+        CASE WHEN v6 IS NULL OR v6 = 0 THEN NULL
+             ELSE ${QueryDef.oSnap("(clean_value - v3) / v6", 2)} END AS pct_change_6m,
+        CASE WHEN v1y IS NULL OR v1y = 0 THEN NULL
+             ELSE ${QueryDef.oSnap("(clean_value - v3) / v1y", 2)} END AS pct_change_1y,
+        date_grain
+      FROM lagged
+    )"""
+
   val defs: Seq[QueryDef] = Seq(
     // fred_series_latest_aggregates.sql — 12m-window grain gate, monthly
     // averages over full history, lag-3/6/12 pct changes with the
@@ -134,109 +265,24 @@ object FredQueries {
     QueryDef(
       "q_fred_latest_aggregates",
       (s, dir) => {
-        val fred   = fredSeries(s, dir)
-        val anchor = fred.agg(max(col("d")).as("end_d")).select(col("end_d"), add_months(col("end_d"), -12).as("start_d"))
-        // ONE aggregation pass computes both the monthly cells AND the
-        // trailing-year observation counts the grain gate needs (the
-        // round-6 shape paid a separate grain pass over the staging
-        // plus a staging-grain join before aggregating): each monthly
-        // cell carries its in-window raw-row count; the per-series
-        // grain is then a rollup of the tiny monthly frame, broadcast
-        // back. Cells and counts are identical by construction, so the
-        // oracle (separate grain CTE) hash-matches unchanged.
-        val monthly = fred
-          .crossJoin(broadcast(anchor))
-          .groupBy(col("series_code"), col("series_name"),
-            trunc(col("d"), "month").as("month"))
-          .agg(
-            r4(dsum(col("value")) / count(lit(1))).as("clean_value"),
-            sum(when(col("d") >= col("start_d") && col("d") <= col("end_d"), 1L)
-              .otherwise(0L)).as("win_cnt"))
-        val grain = monthly
-          .groupBy(col("series_code").as("gsc"))
-          .agg(sum(col("win_cnt")).as("entry_count"))
-          .select(
-            col("gsc"),
-            when(col("entry_count") >= 200, "Daily")
-              .when(col("entry_count") >= 50, "Weekly")
-              .when(col("entry_count") >= 9, "Monthly")
-              .when(col("entry_count") >= 2, "Quarterly")
-              .when(col("entry_count") >= 1, "Annually")
-              .otherwise("Limited Data")
-              .as("date_grain")
-          )
         // Output keeps only the LATEST month per series, and its
         // lag-3/6/12 values are positional among the series' month
         // cells — one aggregation collecting the sorted cell array
         // replaces the window-lag pass + latest-month self-join (the
         // fredSnapshot pattern; bounded state, months per series).
         val cur = element_at(col("cells"), col("n"))
-        def lagv(off: Int) =
-          when(col("n") > off, element_at(col("cells"), col("n") - off).getField("clean_value"))
-        // THE BUG (fred_series_latest_aggregates.sql:96-106): 6m/1y
-        // changes keep the 3m numerator; only the denominator switches.
-        def pct(off: Int) = {
-          val v = lagv(off)
-          when(v.isNull || v === 0, lit(null))
-            .otherwise(round((cur.getField("clean_value") - lagv(3)) / v, 2))
-        }
-        monthly
-          .join(broadcast(grain), col("series_code") === col("gsc"))
-          .filter(col("date_grain").isin("Daily", "Monthly", "Quarterly", "Weekly"))
-          .groupBy(col("series_code"), col("series_name"), col("date_grain"))
-          .agg(sort_array(collect_list(struct(col("month"), col("clean_value")))).as("cells"))
-          .withColumn("n", size(col("cells")))
+        fredCellsGrouped(s, dir)
           .select(
             col("series_code"), col("series_name"),
             cur.getField("month").as("month"),
             cur.getField("clean_value").as("current_value"),
-            pct(3).as("pct_change_3m"),
-            pct(6).as("pct_change_6m"),
-            pct(12).as("pct_change_1y"),
+            cellPct(col("n"), 3).as("pct_change_3m"),
+            cellPct(col("n"), 6).as("pct_change_6m"),
+            cellPct(col("n"), 12).as("pct_change_1y"),
             col("date_grain"))
       },
       Some(s"""
-        WITH $fredSeriesSql,
-        bounds AS (SELECT MAX(d) AS end_d, MAX(d) - INTERVAL 12 MONTH AS start_d FROM fred),
-        grain AS (
-          SELECT series_code,
-            CASE WHEN COUNT(*) >= 200 THEN 'Daily'
-                 WHEN COUNT(*) >= 50 THEN 'Weekly'
-                 WHEN COUNT(*) >= 9 THEN 'Monthly'
-                 WHEN COUNT(*) >= 2 THEN 'Quarterly'
-                 WHEN COUNT(*) >= 1 THEN 'Annually'
-                 ELSE 'Limited Data' END AS date_grain
-          FROM fred, bounds
-          WHERE d >= start_d AND d <= end_d
-          GROUP BY series_code
-        ),
-        aggs AS (
-          SELECT f.series_code, f.series_name, g.date_grain,
-            CAST(DATE_TRUNC('month', f.d) AS DATE) AS month,
-            ROUND(CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS clean_value
-          FROM fred f JOIN grain g ON f.series_code = g.series_code
-          WHERE g.date_grain IN ('Daily', 'Monthly', 'Quarterly', 'Weekly')
-          GROUP BY 1, 2, 3, 4
-        ),
-        lagged AS (
-          SELECT *,
-            LAG(clean_value, 3) OVER w AS v3,
-            LAG(clean_value, 6) OVER w AS v6,
-            LAG(clean_value, 12) OVER w AS v1y
-          FROM aggs
-          WINDOW w AS (PARTITION BY series_code ORDER BY month)
-        ),
-        calc AS (
-          SELECT series_code, series_name, month, clean_value AS current_value,
-            CASE WHEN v3 IS NULL OR v3 = 0 THEN NULL
-                 ELSE ROUND((clean_value - v3) / v3, 2) + 0.0 END AS pct_change_3m,
-            CASE WHEN v6 IS NULL OR v6 = 0 THEN NULL
-                 ELSE ROUND((clean_value - v3) / v6, 2) + 0.0 END AS pct_change_6m,
-            CASE WHEN v1y IS NULL OR v1y = 0 THEN NULL
-                 ELSE ROUND((clean_value - v3) / v1y, 2) + 0.0 END AS pct_change_1y,
-            date_grain
-          FROM lagged
-        )
+        WITH $fredCalcCtes
         SELECT c.series_code, c.series_name, c.month, c.current_value,
                c.pct_change_3m, c.pct_change_6m, c.pct_change_1y, c.date_grain
         FROM calc c
