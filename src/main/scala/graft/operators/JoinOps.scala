@@ -136,4 +136,83 @@ object JoinOps {
       .agg(max(packed).as("__latest"))
       .select((keys.map(col) ++ (orderCol +: valueCols).map(c => col(s"__latest.$c").as(c))): _*)
   }
+
+  /** Generalized as-of join (pandas merge_asof semantics) via the
+    * union-spine trick: tag both sides, union, ONE shuffle on the key,
+    * then propagate the right-side payload with running
+    * last/first(ignoreNulls) frames. Attaches, per left row, BOTH the
+    * backward match (greatest right ts <= left ts) and the forward
+    * match (least right ts >= left ts), each NULLed when outside
+    * `toleranceUs`; callers derive "nearest" by comparing the two
+    * deltas (tie -> backward, the pandas rule).
+    *
+    * Scale rationale: the inequality-join form ([[latestBefore]])
+    * fans out by the band width before its row_number dedup — fine
+    * for bounded bands, quadratic on hot keys. This form's cost is
+    * exactly sort(|L|+|R|) partitioned by key: no join, no fan-out,
+    * skew bounded by the largest single key's row count. The two
+    * window passes share one hash partitioning (single Exchange;
+    * second pass is a re-sort, not a re-shuffle).
+    *
+    * Determinism: right rows tied on (key, ts) are ordered by
+    * `rTieCol`; backward takes the LAST (max tie), forward the FIRST
+    * (min tie) — both total orders.
+    *
+    * Output: all left columns plus, for each payload column `p`,
+    * `bw_p` / `fw_p`, and `bw_delta_us` / `fw_delta_us` (non-negative
+    * BIGINT microseconds, NULL when unmatched).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rTieCol: String,
+      payload: Seq[String],
+      toleranceUs: Long
+  ): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val payStruct = struct((col(rightTs).cast("timestamp").as("__rts") +:
+      payload.map(col)): _*)
+    val rSide = right.select(
+      (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
+        lit(0).as("__side") :+ col(rTieCol).cast("long").as("__tie") :+
+        payStruct.as("__pay")): _*)
+    val leftCols = left.columns.toSeq
+    val lSide = left.select(
+      (keys.map(col) :+ col(leftTs).cast("timestamp").as("__ts") :+
+        lit(1).as("__side") :+ lit(Long.MaxValue).as("__tie") :+
+        lit(null).cast(rSide.schema("__pay").dataType).as("__pay")) ++
+        leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val rPadded = rSide.select(
+      (rSide.columns.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))).toIndexedSeq: _*)
+    val spine = lSide.unionByName(rPadded)
+
+    // backward: right rows sort BEFORE left at equal ts (inclusive <=),
+    // ties by __tie asc so last() = max tie. forward: left BEFORE right
+    // at equal ts (inclusive >=), ties asc so first() = min tie.
+    val kCols  = keys.map(col)
+    val wBack  = Window.partitionBy(kCols: _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd   = Window.partitionBy(kCols: _*)
+      .orderBy(col("__ts").asc, col("__side").desc, col("__tie").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = spine
+      .withColumn("__bw", last(col("__pay"), ignoreNulls = true).over(wBack))
+      .withColumn("__fw", first(col("__pay"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+    val bwDelta = unix_micros(col("__ts")) - unix_micros(col("__bw.__rts"))
+    val fwDelta = unix_micros(col("__fw.__rts")) - unix_micros(col("__ts"))
+    val bwOk    = col("__bw").isNotNull && bwDelta <= toleranceUs
+    val fwOk    = col("__fw").isNotNull && fwDelta <= toleranceUs
+    matched.select(
+      leftCols.map(c => col(s"__l_$c").as(c)) ++
+        payload.map(p => when(bwOk, col(s"__bw.$p")).as(s"bw_$p")) ++
+        Seq(when(bwOk, bwDelta).as("bw_delta_us")) ++
+        payload.map(p => when(fwOk, col(s"__fw.$p")).as(s"fw_$p")) ++
+        Seq(when(fwOk, fwDelta).as("fw_delta_us")): _*)
+  }
 }

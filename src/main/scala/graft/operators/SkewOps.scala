@@ -58,4 +58,41 @@ object SkewOps {
       .join(broadcast(small), keys)
       .unionByName(coldLarge.join(small, keys))
   }
+
+  /** Bloom-pruned join: build a Bloom filter over the SMALL side's
+    * join keys (distributed treeAggregate build via
+    * `DataFrameStatFunctions.bloomFilter` — mergeable, one pass), ship
+    * it to the fact scan as a broadcast, and drop non-matching fact
+    * rows BEFORE the shuffle. The closing exact join clears the false
+    * positives, so the result is bit-identical to the plain join — the
+    * bloom only moves work off the wire.
+    *
+    * The 100 TB rationale: when the dim side is selective (a filtered
+    * dimension keeping ~1% of keys), the shuffle of the fact side is
+    * the dominant cost; an `fpp`-bloom cuts shuffled fact bytes to
+    * ~selectivity + fpp of the original. This is exactly what Spark's
+    * own runtime row-level bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects for
+    * shuffle joins on a cluster; the explicit form here also covers
+    * the cases the optimizer's heuristics skip (it requires a
+    * creation-side selective filter + size thresholds) and pre-shuffle
+    * pruning for repeated reuse of one dim filter across many fact
+    * scans. The `mightContain` call is a deterministic driver-built
+    * sketch probe — scan-local, no shuffle, no skew.
+    */
+  def bloomPrunedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedDimKeys: Long,
+      fpp: Double
+  ): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))
+    fact
+      .filter(col(factKey).isNotNull && mightContain(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -28,7 +28,8 @@ object Registry {
       DataTestQueries.defs ++ DocumentExtractionQueries.defs ++
       DataDictionaryQueries.defs ++ StreamingQueries.defs ++ AlertQueries.defs ++
       CurationQueries.defs ++ SketchQueries.defs ++ OlapQueries.defs ++
-      GraphQueries.defs ++ ModelDagQueries.defs ++ DataPointQueries.defs
+      GraphQueries.defs ++ ModelDagQueries.defs ++ DataPointQueries.defs ++
+      ScaleJoinQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
