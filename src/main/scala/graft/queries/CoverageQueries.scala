@@ -76,7 +76,9 @@ object CoverageQueries {
     // force is off the table (probing >1 cell recovers the neighbors
     // a hard cell boundary would drop). The query vector and the 8
     // centroids are driver-sized by construction; the corpus scan is
-    // pruned to the probed cells. Rows-only (seeded KMeans).
+    // pruned to the probed cells. Stored-golden oracle since r7
+    // (seeded KMeans is deterministic at sf0.01 — see TextMlGolden);
+    // additionally numpy-cross-checked by tools/check_numeric.py.
     QueryDef(
       "q_ann_ivf_topk",
       (s, dir) => {
@@ -106,7 +108,7 @@ object CoverageQueries {
           .orderBy(col("cosine_sim").desc, col("vec_id").asc)
           .limit(10)
       },
-      None
+      TextMlGolden.annIvfTopk
     )
   )
 }

@@ -181,12 +181,21 @@ object DataPointQueries {
       byName(CommodityQueries.defs, "q_agent_commodity_performance").query(s, dir), "commodity"))
 
     // Cost note: this is the reference's WEEKLY consumer asset — it
-    // reads four independent marts (FRED monthly calc, leading-econ
-    // correlations, market + commodity performance), and against the
-    // driver's per-query-isolated bench each mart is re-derived
-    // inline (~13 s of upstream compute at sf0.1). In production the
-    // marts are ModelRegistry Table-tier materializations and this
-    // query is the cheap scan-side of each detector.
+    // reads four independent marts, and against the driver's
+    // per-query-isolated bench each mart is re-derived inline. The
+    // r7 branch-isolated profile at sf0.1 (min of runs, same JVM):
+    // econ ~4.5 s + corrIn ~7 s + market slice ~4.8 s + commodity
+    // slice ~3.2 s ≈ the observed ~20 s total — the four pipelines
+    // are DISJOINT (econ uses the fredSeries families staging, bha's
+    // fredMonthly uses the named-code stgFred; the two market marts
+    // have their own price stagings), so there is no shared subtree
+    // to collapse, and a calendar bound on the FRED cell arrays is
+    // unsafe (cellPct lags are POSITIONAL — sparse part_ series reach
+    // arbitrarily far back in calendar time). In production the marts
+    // are ModelRegistry Table-tier materializations and this query is
+    // the cheap scan-side of each detector; its bench cost is the
+    // price of the driver's cleared-cache isolation, not a plan
+    // defect.
     Seq(bigMoves, trend, corrFindings, marketOut, commodityOut)
       .map(_.select(findingCols.map(col): _*))
       .reduce(_ unionAll _)
