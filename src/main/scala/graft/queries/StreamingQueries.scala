@@ -244,6 +244,48 @@ object StreamingQueries {
         GROUP BY 1, 2
       """
       }
+    ),
+    // Stream-stream event-time interval join: purchases joined to the
+    // views of the same user within the 2 h preceding the purchase —
+    // BOTH sides are streaming relations with watermarks, so the
+    // micro-batch planner runs the symmetric-hash stream-stream join
+    // with event-time range state cleanup (each side's buffered rows
+    // are dropped once the other side's watermark passes the interval
+    // bound — the state-boundedness property that makes this shape
+    // viable on an unbounded 100 TB/day stream; a batch banded join
+    // has no such eviction). Under AvailableNow on static input the
+    // emitted pairs equal the batch interval join exactly. Emits ALL
+    // qualifying pairs — the attribution fan-out complement of
+    // q_asof_purchase_attribution's nearest-only as-of.
+    QueryDef(
+      "q_stream_interval_join",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        def side(eventType: String, idAs: String, uAs: String, tsAs: String) =
+          graft.runtime.Tables.normalizeEventTs(stream(s, dir, "events"))
+            .filter(col("event_type") === eventType)
+            .select(col("event_id").as(idAs), col("user_id").as(uAs),
+              col("ts").as(tsAs))
+            .withWatermark(tsAs, "1 hour")
+        val purchases = side("purchase", "purchase_id", "pu", "pts")
+        val views     = side("view", "view_id", "vu", "vts")
+        val joined = purchases
+          .join(views,
+            col("pu") === col("vu") &&
+              col("vts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+              col("vts") <= col("pts"))
+          .select(col("purchase_id"), col("pu").as("user_id"), col("view_id"),
+            (unix_micros(col("pts")) - unix_micros(col("vts"))).as("delta_us"))
+        runToTable("stream_interval_join", joined, "append")
+      },
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+          epoch_us(p.ts) - epoch_us(v.ts) AS delta_us
+        FROM events p JOIN events v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+          AND p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
+      """)
     )
   )
 }

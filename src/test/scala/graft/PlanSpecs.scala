@@ -230,4 +230,37 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert("Generate explode".r.findAllIn(plan).size == 1,
       "exactly one explode: the sketch-array merge")
   }
+
+  test("runtime bloom filter injects might_contain for a selective-dim shuffle join") {
+    // The cluster-scale counterpart of SkewOps.bloomPrunedJoin: with
+    // the optimizer's runtime row-level bloom filter enabled, a
+    // shuffle join against a selectively-filtered dim gets a
+    // bloom-probe predicate injected on the fact side — fact rows are
+    // dropped BEFORE the exchange. Gated here so a Spark upgrade or a
+    // session-default change that silently stops the injection fails
+    // a test instead of doubling shuffle bytes at scale. (The
+    // application-side size threshold defaults to 10 GB, so the
+    // injection needs the conf below on test-sized data; production
+    // sessions keep the default and get it exactly where it matters.)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val j = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority").count()
+      val phys = j.queryExecution.executedPlan.toString
+      assert(phys.contains("might_contain"),
+        "runtime bloom filter must inject a might_contain probe on the fact side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
