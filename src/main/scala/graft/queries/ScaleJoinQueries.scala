@@ -162,6 +162,44 @@ object ScaleJoinQueries {
         FROM orders
         GROUP BY 1
       """)
+    ),
+    // Typed-Aggregator top-k (functions/TopKAggregator.scala): top-5
+    // lineitem rows by exact price-micros per return flag, computed
+    // with a k-bounded mergeable buffer instead of a per-group full
+    // sort — map-side combine ships <= k pairs per group per task.
+    // Scores are exact DECIMAL-derived micros longs so the cut is
+    // bit-deterministic under any merge order; the oracle replays it
+    // as the window form the aggregator replaces.
+    QueryDef(
+      "q_topk_aggregator",
+      (s, dir) => {
+        val li = T(s, dir).lineitem.select(
+          col("l_returnflag").as("grp"),
+          (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+            .cast("long").as("score"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+        li.groupBy(col("grp"))
+          .agg(graft.functions.TopKAggregator.topK(5, col("score"), col("id")).as("top"))
+          .select(col("grp"), posexplode(arrays_zip(col("top.scores"), col("top.ids"))))
+          .select(
+            col("grp"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.ids").as("row_id"), col("col.scores").as("price_micros"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_returnflag AS grp,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS score,
+            l_orderkey * 10 + l_linenumber AS id
+          FROM lineitem
+        )
+        SELECT grp, CAST(rk AS BIGINT) AS rank, id AS row_id, score AS price_micros
+        FROM (
+          SELECT grp, score, id,
+            ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC, id ASC) AS rk
+          FROM li
+        )
+        WHERE rk <= 5
+      """)
     )
   )
 }

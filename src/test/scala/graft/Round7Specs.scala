@@ -87,6 +87,34 @@ class Round7Specs extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatch.count() == 0)
   }
 
+  test("TopK aggregator equals the window form and is merge-order invariant") {
+    import graft.functions.TopKAggregator
+    val li = runtime.Tables(spark, "/root/testdata/sf0.001").lineitem.select(
+      col("l_returnflag").as("grp"),
+      (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+        .cast("long").as("score"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+
+    def viaAgg(in: org.apache.spark.sql.DataFrame) = in
+      .groupBy(col("grp"))
+      .agg(TopKAggregator.topK(7, col("score"), col("id")).as("top"))
+      .select(col("grp"), posexplode(arrays_zip(col("top.scores"), col("top.ids"))))
+      .select(col("grp"), col("pos"), col("col.scores").as("score"), col("col.ids").as("id"))
+
+    val wf = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+    val viaWindow = li.withColumn("pos", row_number().over(wf) - 1)
+      .filter(col("pos") < 7).select("grp", "pos", "score", "id")
+
+    val a = viaAgg(li)
+    assert(a.exceptAll(viaWindow).count() == 0 && viaWindow.exceptAll(a).count() == 0)
+
+    // merge-order invariance: a different physical partitioning must
+    // produce the identical cut (the bounded-buffer merge is total-
+    // ordered, so repartition cannot change results)
+    val b = viaAgg(li.repartition(7, col("id")))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("bloomPrunedJoin equals the plain join and prunes pre-shuffle") {
     val t = runtime.Tables(spark, "/root/testdata/sf0.001")
     val dim = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
