@@ -117,6 +117,58 @@ object SinkQueries {
                OR NOT (cnation IS NOT DISTINCT FROM nnation
                        AND csegment IS NOT DISTINCT FROM nsegment))
       """)
+    ),
+    // CDC ordered apply: an insert/update/delete op log (events typed
+    // signup→I, error→D, else U) replayed to final table state —
+    // at-least-once redelivery simulated by re-appending a slice of
+    // the log, made idempotent by exact event-id dedup, then ONE
+    // keyed aggregation: max_by-style struct-max picks each key's
+    // latest op (ts, event_id total order) and 'D' tombstones drop
+    // the key. No window sort, no per-key fan-out — dedup + apply are
+    // two hash shuffles regardless of log depth, which is the CDC
+    // shape that survives a 100 TB/day change stream (the Delta/
+    // Iceberg MERGE-on-CDF equivalent; q_merge_upsert covers the
+    // keyed-snapshot half).
+    QueryDef(
+      "q_cdc_apply",
+      (s, dir) => {
+        val ev = T(s, dir).events
+        val redelivered = ev.unionByName(ev.filter(col("event_id") % 97 === 0))
+        val log = redelivered
+          .dropDuplicates("event_id")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            when(col("event_type") === "signup", "I")
+              .when(col("event_type") === "error", "D")
+              .otherwise("U").as("op"))
+        log.groupBy(col("user_id"))
+          .agg(
+            max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"),
+            count(lit(1)).as("n_ops"))
+          .filter(col("last.op") =!= "D")
+          .select(col("user_id"), col("last.ts").as("last_ts"),
+            QueryDef.r4(col("last.value")).as("last_value"), col("n_ops"))
+      },
+      Some("""
+        WITH log AS (
+          SELECT event_id, user_id, ts, value,
+            CASE event_type WHEN 'signup' THEN 'I'
+                            WHEN 'error' THEN 'D' ELSE 'U' END AS op
+          FROM (
+            SELECT * FROM events
+            UNION ALL SELECT * FROM events WHERE event_id % 97 = 0
+          )
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) = 1
+        ),
+        latest AS (
+          SELECT user_id, ts, event_id, op, value,
+            COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+          FROM log
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT user_id, ts AS last_ts, ROUND(value, 4) + 0.0 AS last_value, n_ops
+        FROM latest WHERE op <> 'D'
+      """)
     )
   )
 }

@@ -177,4 +177,52 @@ class InfraSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "a scope must not clobber caches it did not create")
     pre.unpersist(blocking = true)
   }
+
+  test("repartitionByRange + sortWithinPartitions yields disjoint per-file key ranges") {
+    // The 1-D write-layout half of parquet min/max file pruning (the
+    // multi-dim half is LayoutOps' z-order): range-partitioned sorted
+    // files have non-overlapping key ranges, so a point/range
+    // predicate prunes to the files whose [min,max] intersect it —
+    // at 100 TB the difference between touching every file's footer
+    // and reading 1/N of them. RangePartitioner sends equal keys to
+    // one partition, so ranges are disjoint (boundary keys never
+    // straddle files).
+    val li = runtime.Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select(col("l_shipdate").cast("date").as("d"), col("l_extendedprice"))
+    val out = Files.createTempDirectory("graft_range_layout").toString
+    li.repartitionByRange(6, col("d")).sortWithinPartitions("d")
+      .write.mode("overwrite").parquet(out)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .orderBy(col("lo"))
+      .collect()
+    assert(perFile.length >= 4, s"expected several range files, got ${perFile.length}")
+    perFile.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDate(2).compareTo(b.getDate(1)) < 0,
+          s"file ranges overlap: ${a.getDate(2)} vs ${b.getDate(1)}")
+      case _ => ()
+    }
+    // and the layout round-trips the data intact
+    assert(spark.read.parquet(out).count() == li.count())
+  }
+
+  test("observe() collects data-quality metrics in the same pass as the action") {
+    // Single-pass DQ accounting: Observation metrics ride the query's
+    // own execution (no second scan of the fact table) — the
+    // at-scale form of "count the nulls while writing" that the dq_*
+    // models do as separate queries when run ad hoc.
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val li = runtime.Tables(spark, "/root/testdata/sf0.001").lineitem
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("n_nonpositive"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("n_null_dates"))
+    val n = li.count()
+    val m = obs.get
+    assert(m("n_rows") == n, "observed row count must equal the action's")
+    assert(m("n_nonpositive") == 0L && m("n_null_dates") == 0L,
+      "clean corpus must observe zero violations")
+  }
 }
