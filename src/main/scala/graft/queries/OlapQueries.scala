@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.queries.QueryDef.dsum
 import graft.runtime.Tables
@@ -247,6 +248,34 @@ object OlapQueries {
         FROM z GROUP BY 1
       """
       }
+    ),
+    // Native relational PIVOT: Spark's groupBy().pivot(col, values)
+    // — with the value list supplied explicitly so the plan is a
+    // single partial-aggregated pass (omitting it adds a distinct-
+    // values collect job before planning; never do that at 100 TB).
+    // Complements the MAX(CASE) hand-pivot (q_conditional_pivot_
+    // status) and the unpivot/melt reshape (q_unpivot_metrics).
+    QueryDef(
+      "q_pivot_native",
+      (s, dir) => {
+        val li = Tables(s, dir).lineitem
+        li.select(col("l_returnflag").as("flag"), col("l_linestatus"),
+            col("l_quantity").cast(DecimalType(18, 0)).as("q"))
+          .groupBy(col("flag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("q")).cast("long"))
+          .select(col("flag"),
+            coalesce(col("F"), lit(0L)).as("qty_f"),
+            coalesce(col("O"), lit(0L)).as("qty_o"))
+      },
+      Some("""
+        SELECT l_returnflag AS flag,
+          CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_quantity AS DECIMAL(18,0)) END), 0) AS BIGINT) AS qty_f,
+          CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_quantity AS DECIMAL(18,0)) END), 0) AS BIGINT) AS qty_o
+        FROM lineitem GROUP BY 1
+      """)
     )
   )
 }
