@@ -109,6 +109,38 @@ object CoverageQueries {
           .limit(10)
       },
       TextMlGolden.annIvfTopk
+    ),
+    // Product-quantization ANN (operators/PqOps.scala): 8×16-centroid
+    // deterministic codebooks from a BOUNDED vec_id<=1024 sample, the
+    // corpus encoded to 8 one-byte codes (32× smaller than float32 —
+    // THE memory-bound index at 100 TB), asymmetric-distance scan via
+    // a driver-built m×ks lookup table, 50-candidate shortlist
+    // re-ranked by EXACT cosine so the emitted similarities are exact
+    // and PQ only decides membership. Stored-golden oracle (seedless
+    // Lloyd is deterministic — TextMlGolden stability argument); the
+    // recall-vs-brute-force floor is spec-asserted in Round7Specs.
+    QueryDef(
+      "q_ann_pq_topk",
+      (s, dir) => {
+        val e  = T(s, dir).embeddings
+        val cb = graft.operators.PqOps.pqTrain(e, "vec_id", "embedding", m = 8, ks = 16)
+        val qvec = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
+        val shortlist = graft.operators.PqOps
+          .pqEncode(e.filter(col("vec_id") =!= 0), "embedding", cb)
+          .withColumn("adc", graft.operators.PqOps.adcScore(cb, qvec, col("pq_codes")))
+          .orderBy(col("adc").asc, col("vec_id").asc)
+          .limit(50)
+        val qvecDf = e.filter(col("vec_id") === 0)
+          .select(SimilarityOps.toDouble(col("embedding")).as("qvec"))
+        shortlist
+          .crossJoin(broadcast(qvecDf))
+          .select(col("vec_id"),
+            r4(SimilarityOps.cosine(shortlist, col("embedding"), col("qvec"))).as("cosine_sim"))
+          .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      TextMlGolden.annPqTopk
     )
   )
 }

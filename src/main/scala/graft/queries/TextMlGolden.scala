@@ -27,4 +27,5 @@ object TextMlGolden {
   def docClusters: Option[String] = TextMlGoldenData.docClusters
   def docTopics: Option[String]   = TextMlGoldenData.docTopics
   def annIvfTopk: Option[String]  = TextMlGoldenData.annIvfTopk
+  def annPqTopk: Option[String]   = TextMlGoldenData.annPqTopk
 }

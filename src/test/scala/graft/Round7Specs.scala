@@ -115,6 +115,35 @@ class Round7Specs extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("PQ ANN: codebooks are partitioning-invariant and the shortlist recalls brute-force neighbors") {
+    import graft.operators.{PqOps, SimilarityOps}
+    val e = runtime.Tables(spark, "/root/testdata/sf0.001").embeddings
+
+    // training reads a deterministic ordered sample — physical layout
+    // must not leak into the codebooks
+    val cb1 = PqOps.pqTrain(e, "vec_id", "embedding", m = 8, ks = 16)
+    val cb2 = PqOps.pqTrain(e.repartition(5, col("vec_id")), "vec_id", "embedding", m = 8, ks = 16)
+    assert(cb1.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq,
+      "codebooks must be bit-identical under repartitioning")
+
+    // ADC shortlist must recall most true top-10 cosine neighbors
+    val qvec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val qvecDf = e.filter(col("vec_id") === 0)
+      .select(SimilarityOps.toDouble(col("embedding")).as("qvec"))
+    val brute = corpus.crossJoin(broadcast(qvecDf))
+      .select(col("vec_id"), SimilarityOps.cosine(corpus, col("embedding"), col("qvec")).as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val short50 = PqOps.pqEncode(corpus, "embedding", cb1)
+      .withColumn("adc", PqOps.adcScore(cb1, qvec, col("pq_codes")))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = brute.count(short50.contains)
+    assert(recall >= 6, s"PQ 50-shortlist recalled only $recall/10 true neighbors")
+  }
+
   test("bloomPrunedJoin equals the plain join and prunes pre-shuffle") {
     val t = runtime.Tables(spark, "/root/testdata/sf0.001")
     val dim = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
