@@ -83,12 +83,17 @@ object Bench {
 
     // Full detail → file (not stdout: would blow the driver's tail
     // capture). Partial runs (SPARK_GRAFT_ONLY dev subsets) must NOT
-    // clobber the committed full-suite record (ADVICE r6).
+    // clobber the committed full-suite record (ADVICE r6), and neither
+    // must full runs at a NON-CANONICAL scale factor (a full sf0.001
+    // smoke once overwrote the sf0.1 record): the canonical name is
+    // reserved for sf0.1; other SFs write a suffixed record.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results.map(r => (r._1, r._2)))},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
-    else System.err.println(s"[bench] subset run (${results.size} queries): BENCH_FULL.json left untouched")
+    if (only.isEmpty) {
+      val sfTag = new java.io.File(sfDir).getName
+      val fname = if (sfTag == "sf0.1") "BENCH_FULL.json" else s"BENCH_FULL_$sfTag.json"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(fname), full + "\n")
+      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $fname write failed: ${e.getMessage}") }
+    } else System.err.println(s"[bench] subset run (${results.size} queries): BENCH_FULL.json left untouched")
 
     // Compact line for the driver: total + the slowest queries, largest
     // first, as many as fit a conservative line budget.

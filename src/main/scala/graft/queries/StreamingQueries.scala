@@ -286,6 +286,31 @@ object StreamingQueries {
           AND p.user_id = v.user_id
           AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
       """)
+    ),
+    // Stream-static enrichment: a streaming fact joined to a BATCH
+    // dimension — the planner broadcasts the static side into every
+    // micro-batch (no state store involvement, no watermark needed;
+    // the static side is re-resolvable per batch, which is how slowly
+    // changing dims are refreshed mid-stream in production). The
+    // grouped result equals the batch star join.
+    QueryDef(
+      "q_stream_static_enrich",
+      (s, dir) => {
+        val dim = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val enriched = stream(s, dir, "orders")
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            QueryDef.dsum(col("o_totalprice")).as("sum_price"))
+        runToTable("stream_static_enrich", enriched, "complete")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+      """)
     )
   )
 }
