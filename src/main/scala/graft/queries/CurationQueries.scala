@@ -371,6 +371,73 @@ object CurationQueries {
         FROM st LEFT JOIN capped k ON st.doc_id = k.doc_id
         GROUP BY 1
       """)
+    ),
+    // Char-bigram LM perplexity proxy (the CCNet/KenLM-style quality
+    // score, self-trained): ONE pass trains the corpus bigram model —
+    // a table bounded by charset² regardless of corpus size, so it
+    // broadcasts — and one pass scores every document's mean
+    // add-one-smoothed conditional surprisal in bits/char. High
+    // bits/char = text unlike the corpus (mojibake, wrong language,
+    // boilerplate soup) — the standard pretraining quality gate. At
+    // 100 TB the model trains on a bounded sample or a reference
+    // corpus; the scoring pass is unchanged. ln() outputs go through
+    // the DECIMAL(18,6)-snap mean so the per-doc score is summation-
+    // order independent (the EXP-SUM-LN discipline).
+    QueryDef(
+      "q_charlm_perplexity",
+      (s, dir) => {
+        val docs = T(s, dir).documents.select(col("doc_id"), col("text"))
+        val bi = docs
+          .select(col("doc_id"),
+            explode(when(length(col("text")) >= 2,
+              expr("transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
+              .otherwise(array())).as("bg"))
+        val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+        val cp = cb.groupBy(substring(col("bg"), 1, 1).as("pc"))
+          .agg(sum(col("c_bg")).as("c_pc"))
+        val v = docs
+          .select(explode(split(col("text"), "")).as("ch"))
+          .filter(length(col("ch")) === 1)
+          .agg(countDistinct(col("ch")).as("vsize"))
+        val bits = -log(
+          (col("c_bg") + lit(1.0)) / (col("c_pc") + col("vsize"))) / log(lit(2.0))
+        bi.join(broadcast(cb), Seq("bg"))
+          .join(broadcast(cp), substring(col("bg"), 1, 1) === col("pc"))
+          .crossJoin(broadcast(v))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            QueryDef.rsnap(
+              sum(bits.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+                .cast("double") / count(lit(1)), 4).as("bits_per_char"))
+      },
+      Some(s"""
+        WITH bg AS (
+          SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg
+          FROM documents, UNNEST(RANGE(1, length(text))) AS t(i)
+          WHERE length(text) >= 2
+        ),
+        cb AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1),
+        cp AS (
+          SELECT substring(bg, 1, 1) AS pc, CAST(SUM(c_bg) AS BIGINT) AS c_pc
+          FROM cb GROUP BY 1
+        ),
+        v AS (
+          SELECT COUNT(DISTINCT substring(text, CAST(i AS INTEGER), 1)) AS vsize
+          FROM documents, UNNEST(RANGE(1, length(text) + 1)) AS t(i)
+        ),
+        scored AS (
+          SELECT b.doc_id,
+            -LN((c.c_bg + 1.0) / (p.c_pc + v.vsize)) / LN(2.0) AS bits
+          FROM bg b
+          JOIN cb c USING (bg)
+          JOIN cp p ON substring(b.bg, 1, 1) = p.pc
+          CROSS JOIN v
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          ${QueryDef.oSnap("CAST(SUM(CAST(bits AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)", 4)}
+            AS bits_per_char
+        FROM scored GROUP BY 1
+      """)
     )
   )
 }

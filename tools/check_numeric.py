@@ -488,6 +488,96 @@ def check_partition_counts(q):
     report(q, len(sp), bad, 0.0, f"partition consistency: {total}/{n_docs} docs in 8 groups")
 
 
+# ----------------------------------------------------------- q_ann_pq_topk
+def check_pq(m=8, ks=16, sample_max=1024, iters=10, cand=50):
+    """Bit-mirror of graft.operators.PqOps: seedless Lloyd codebooks
+    (accumulation in sample order, strict-< argmin ties to the lower
+    index), ADC shortlist, exact-cosine values of the emitted rows.
+    The arithmetic is replayed in the SAME operation order as the JVM
+    (sequential scalar adds), so the codebooks — and therefore the
+    50-candidate shortlist membership — reproduce exactly; only the
+    final cosines are compared at the rounding tolerance."""
+    emb = con.execute("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchdf()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float32).astype(np.float64)
+            for _, r in emb.iterrows()}
+    sample = [vecs[i] for i in sorted(vecs) if i <= sample_max]
+    d = len(sample[0])
+    dsub = d // m
+
+    def argmin(x, cents):
+        best, bd = 0, float("inf")
+        for c, ce in enumerate(cents):
+            dd = 0.0
+            for i in range(len(x)):
+                t = float(x[i]) - float(ce[i])
+                dd += t * t
+            if dd < bd:
+                bd, best = dd, c
+        return best
+
+    books = []
+    for j in range(m):
+        sub = [v[j * dsub:(j + 1) * dsub] for v in sample]
+        cents = [s.copy() for s in sub[:ks]]
+        for _ in range(iters):
+            sums = [np.zeros(dsub) for _ in cents]
+            counts = [0] * len(cents)
+            for x in sub:
+                a = argmin(x, cents)
+                counts[a] += 1
+                for i in range(dsub):
+                    sums[a][i] += x[i]
+            cents = [cents[c] if counts[c] == 0 else sums[c] / counts[c]
+                     for c in range(len(cents))]
+        books.append(cents)
+
+    q = vecs[0]
+    lut = []
+    for j in range(m):
+        qs = q[j * dsub:(j + 1) * dsub]
+        row = []
+        for ce in books[j]:
+            dd = 0.0
+            for i in range(dsub):
+                t = float(qs[i]) - float(ce[i])
+                dd += t * t
+            row.append(dd)
+        lut.append(row)
+    scored = []
+    for vid in sorted(vecs):
+        if vid == 0:
+            continue
+        v = vecs[vid]
+        s = 0.0
+        for j in range(m):
+            code = argmin(v[j * dsub:(j + 1) * dsub], books[j])
+            s += lut[j][code]
+        scored.append((s, vid))
+    short_ids = {vid for _, vid in sorted(scored)[:cand]}
+
+    qn = math.sqrt(float(q @ q))
+    sp = pd.read_parquet(f"{OUT}/q_ann_pq_topk")
+    bad, maxdev = 0, 0.0
+    prev = float("inf")
+    for _, r in sp.iterrows():
+        vid = int(r["vec_id"])
+        if vid not in short_ids:
+            bad += 1  # emitted row must come from the replayed ADC shortlist
+            continue
+        v = vecs[vid]
+        cos = float(v @ q) / (math.sqrt(float(v @ v)) * qn)
+        dev = abs(cos - float(r["cosine_sim"]))
+        maxdev = max(maxdev, dev)
+        if dev > TOL:
+            bad += 1
+        if float(r["cosine_sim"]) > prev + 1e-12:
+            bad += 1
+        prev = float(r["cosine_sim"])
+    report("q_ann_pq_topk", len(sp), bad, maxdev,
+           "shortlist membership replayed bit-exactly + cosine values")
+
+
+N_CHECKS = 9
 check_turbulence()
 check_absorption()
 check_perm_entropy()
@@ -496,6 +586,7 @@ check_tfidf()
 check_ivf()
 check_partition_counts("q_doc_clusters")
 check_nmf()
+check_pq()
 
-print(f"\n{8 - len(failures)} passed, {len(failures)} failed")
+print(f"\n{N_CHECKS - len(failures)} passed, {len(failures)} failed")
 sys.exit(1 if failures else 0)
