@@ -149,4 +149,39 @@ class PropertySpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(once.schema("id").dataType.typeName == "long")
     assert(once.exceptAll(twice).count() == 0)
   }
+
+  test("asofJoin equals a reference in-memory as-of on random clustered timelines") {
+    // Randomized semantics check over adversarial shapes the fixture
+    // can't produce on demand: duplicate timestamps on both sides,
+    // empty keys, matches exactly ON the tolerance boundary.
+    import graft.operators.JoinOps
+    for (trial <- 1 to 3) {
+      val nKeys = 4
+      val tol   = 1000L // microseconds
+      def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision keeps micros exact*1000
+      val rights = (1 to 120).map { i =>
+        (i.toLong, rng.nextInt(nKeys).toLong, rng.nextInt(40).toLong * 500L)
+      } // (id, key, us) — coarse grid forces ts collisions
+      val lefts = (1 to 80).map { i =>
+        (1000L + i, rng.nextInt(nKeys + 1).toLong, rng.nextInt(40).toLong * 500L)
+      } // key nKeys has no right rows
+      val rdf = rights.map { case (id, k, us) => (id, k, ts(us * 1000)) }.toDF("rid", "k", "ts")
+      val ldf = lefts.map { case (id, k, us) => (id, k, ts(us * 1000)) }.toDF("lid", "k", "ts")
+
+      val out = JoinOps.asofJoin(ldf, rdf, Seq("k"), "ts", "ts",
+        rTieCol = "rid", payload = Seq("rid"), toleranceUs = tol * 1000)
+        .select("lid", "bw_rid", "fw_rid")
+        .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+
+      lefts.foreach { case (lid, k, us) =>
+        val cands = rights.filter(_._2 == k)
+        val bw = cands.filter(c => c._3 <= us && us - c._3 <= tol)
+          .sortBy(c => (-c._3, -c._1)).headOption.map(_._1)
+        val fw = cands.filter(c => c._3 >= us && c._3 - us <= tol)
+          .sortBy(c => (c._3, c._1)).headOption.map(_._1)
+        assert(out(lid) == ((bw, fw)),
+          s"trial $trial lid=$lid k=$k us=$us: got ${out(lid)}, want ($bw, $fw)")
+      }
+    }
+  }
 }
