@@ -231,6 +231,31 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "exactly one explode: the sketch-array merge")
   }
 
+  test("asofJoin is one exchange + two sorts (the union-spine claim)") {
+    // The operator's whole point: merge_asof without a banded join —
+    // L+R shuffle ONCE on the key, then two ordered window passes
+    // re-sort in place. A second Exchange appearing here means the
+    // spine union or the window partitioning regressed.
+    val plan = executedPlan("q_asof_purchase_attribution")
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      "as-of spine must shuffle exactly once")
+    assert("\\bSort \\[".r.findAllIn(plan).size == 2,
+      "exactly the two direction-ordered window sorts")
+  }
+
+  test("embedding mean-pool is a single (group, dim)-keyed shuffle") {
+    val plan = executedPlan("q_embedding_mean_pool")
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      "pooling must be one keyed aggregation — no vector-holding tree reduce")
+  }
+
+  test("TopK aggregator runs as one partial-aggregated object-hash exchange") {
+    val plan = executedPlan("q_topk_aggregator")
+    assert("Exchange ".r.findAllIn(plan).size == 1, "one shuffle of k-bounded buffers")
+    assert(plan.contains("ObjectHashAggregate"),
+      "bounded-buffer UDAF must stay on the ObjectHashAggregate path (no sort-agg fallback)")
+  }
+
   test("runtime bloom filter injects might_contain for a selective-dim shuffle join") {
     // The cluster-scale counterpart of SkewOps.bloomPrunedJoin: with
     // the optimizer's runtime row-level bloom filter enabled, a
