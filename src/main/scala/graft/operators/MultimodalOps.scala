@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, batch-shaped
   * featurization, and frame sampling.
   *
-  * The DECODE step is a clearly-marked deterministic STUB: real
-  * image/audio/video decoding needs codec libraries that are not in
-  * this container. Everything Spark-side — schema, batching shape,
-  * partitioning, content addressing — is real and tested; swapping
-  * the stub for a JNI/ONNX decoder changes no plan shape.
+  * Decode status: UNCOMPRESSED container formats are decoded for REAL
+  * in pure JVM byte parsing — RIFF/WAVE 16-bit PCM
+  * ([[decodeWavPcm16]], round-trip oracle-checked by
+  * q_wav_decode_features) and 24-bit BITMAPINFOHEADER BMP
+  * ([[decodeBmp24]], spec-checked). Only CODEC formats (jpeg/mp3/
+  * h264) remain a clearly-marked deterministic STUB: their decoders
+  * need libraries absent from this container. Everything Spark-side —
+  * schema, batching shape, partitioning, content addressing — is real
+  * and tested; swapping the stub for a JNI/ONNX decoder changes no
+  * plan shape.
   */
 object MultimodalOps {
 
@@ -84,8 +89,11 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
-  /** STUB: stands in for image/audio decode + feature extraction.
-    * Deterministic on content bytes so tests are stable. */
+  /** STUB: stands in for COMPRESSED-format decode + feature extraction
+    * (jpeg/mp3/h264 need codec libraries absent from this container).
+    * Deterministic on content bytes so tests are stable. Uncompressed
+    * container formats are decoded for REAL below ([[decodeWavPcm16]],
+    * [[decodeBmp24]] — pure byte parsing, no codecs). */
   private def decodeStub(bytes: Array[Byte], embDim: Int): (Seq[Float], Double) = {
     val emb = (0 until embDim).map { i =>
       if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f
@@ -93,5 +101,137 @@ object MultimodalOps {
     val n      = math.min(bytes.length, 256)
     val bright = if (n == 0) 0.0 else (0 until n).map(i => (bytes(i) & 0xff).toDouble).sum / n / 255.0
     (emb, bright)
+  }
+
+  // -------------------------------------------------------------------
+  // REAL decoders for the uncompressed container formats — plain byte
+  // parsing, deterministic, exact-integer accumulators so the derived
+  // features are engine-independent (q_wav_decode_features round-trips
+  // synth → RIFF bytes → decode against a closed-form oracle).
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Encode 16-bit mono PCM samples as a minimal RIFF/WAVE byte blob. */
+  def synthesizeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out     = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Decoded WAV features. All integral fields are exact; `rms` is one
+    * correctly-rounded sqrt of an exact rational (bit-identical on any
+    * IEEE engine). `zero_crossings` counts sign transitions with
+    * sign(x) = x < 0. */
+  final case class WavFeatures(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long,
+      durationMs: Long, peakAbs: Long, zeroCrossings: Long, sumSquares: Long) {
+    def rms: Double =
+      if (nSamples == 0) 0.0 else math.sqrt(sumSquares.toDouble / nSamples)
+  }
+
+  /** REAL RIFF/WAVE parser for 16-bit mono PCM: chunk walk (fmt/data
+    * in any order, unknown chunks skipped), little-endian samples,
+    * exact-integer feature accumulation. Returns None for non-WAV or
+    * non-PCM16-mono content (the caller falls back to the stub). */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[WavFeatures] = {
+    if (bytes.length < 12) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) return None
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var off                       = 12
+    var rate, channels, bits, fmt = -1
+    var dataOff, dataLen          = -1
+    while (off + 8 <= bytes.length) {
+      val id  = new String(bytes, off, 4, "US-ASCII")
+      val len = le32(bytes, off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          fmt = le16(bytes, off + 8)
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        case "data" =>
+          dataOff = off + 8
+          dataLen = len
+        case _ => () // skip unknown chunks
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || channels != 1 || bits != 16 || rate <= 0 || dataOff < 0) return None
+    val n     = dataLen / 2
+    var i     = 0
+    var peak  = 0L
+    var zc    = 0L
+    var sumSq = 0L
+    var prevNeg = false
+    while (i < n) {
+      val s = le16(bytes, dataOff + 2 * i).toShort.toLong
+      if (math.abs(s) > peak) peak = math.abs(s)
+      sumSq += s * s
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    Some(WavFeatures(rate, channels, bits, n, n * 1000L / rate, peak, zc, sumSq))
+  }
+
+  /** Decoded BMP features (exact integer sums over pixels). */
+  final case class BmpFeatures(
+      width: Int, height: Int, bitsPerPixel: Int,
+      sumR: Long, sumG: Long, sumB: Long) {
+    def nPixels: Long   = width.toLong * height
+    def meanLuma: Double =
+      if (nPixels == 0) 0.0
+      else (299L * sumR + 587L * sumG + 114L * sumB).toDouble / (1000.0 * nPixels)
+  }
+
+  /** REAL parser for uncompressed 24-bit BITMAPINFOHEADER BMPs:
+    * bottom-up row order, 4-byte row padding, BGR byte order. Returns
+    * None for anything else (compressed/other-depth falls back to the
+    * stub). */
+  def decodeBmp24(bytes: Array[Byte]): Option[BmpFeatures] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val pixelOff = le32(bytes, 10)
+    val hdrSize  = le32(bytes, 14)
+    if (hdrSize < 40) return None
+    val w    = le32(bytes, 18)
+    val h    = le32(bytes, 22)
+    val bpp  = le16(bytes, 28)
+    val comp = le32(bytes, 30)
+    if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
+    val height  = math.abs(h)
+    val rowLen  = ((w * 3 + 3) / 4) * 4
+    if (pixelOff < 0 || pixelOff.toLong + rowLen.toLong * height > bytes.length) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y            = 0
+    while (y < height) {
+      val base = pixelOff + y * rowLen
+      var x    = 0
+      while (x < w) {
+        sb += bytes(base + 3 * x) & 0xff
+        sg += bytes(base + 3 * x + 1) & 0xff
+        sr += bytes(base + 3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpFeatures(w, height, bpp, sr, sg, sb))
   }
 }

@@ -109,6 +109,74 @@ object InfraQueries {
         FROM orders
         GROUP BY o_orderpriority
       """)
+    ),
+    // REAL audio decode round-trip (MultimodalOps.decodeWavPcm16):
+    // ten deterministic integer triangle waves are synthesized to
+    // RIFF/WAVE bytes and decoded back by the chunk-walking PCM
+    // parser; the oracle recomputes every feature from the closed
+    // -form sample formula — so a single byte-offset bug anywhere in
+    // the container writer OR parser breaks the hash. All features
+    // are exact integers except rms = one correctly-rounded sqrt of
+    // an exact rational (engine-independent). This retires the
+    // "decode is a stub" caveat for uncompressed containers; only
+    // codec formats (jpeg/mp3/h264) remain stubbed.
+    QueryDef(
+      "q_wav_decode_features",
+      (s, dir) => {
+        import s.implicits._
+        val spec = (0 until 10)
+          .map(id => (id.toLong, 4000 + id * 500, 40 + id * 8, 8000))
+          .toDF("media_id", "n", "p", "rate")
+        val decode = udf { (n: Int, p: Int, rate: Int) =>
+          val A = 16384L
+          val samples = Array.tabulate(n) { i =>
+            val m = i % p
+            val v = if (m < p / 2) 4 * A * m / p - A else 3 * A - 4 * A * m / p
+            v.toShort
+          }
+          val bytes = MultimodalOps.synthesizeWavPcm16(samples, rate)
+          val f     = MultimodalOps.decodeWavPcm16(bytes).get
+          (f.nSamples, f.durationMs, f.peakAbs, f.zeroCrossings, f.sumSquares)
+        }
+        spec.withColumn("f", decode(col("n"), col("p"), col("rate")))
+          .select(
+            col("media_id"),
+            col("f._1").as("n_samples"),
+            col("f._2").as("duration_ms"),
+            col("f._3").as("peak_abs"),
+            col("f._4").as("zero_crossings"),
+            QueryDef.rsnap(sqrt(col("f._5").cast("double") / col("f._1")), 4).as("rms"))
+      },
+      Some {
+        val specRows = (0 until 10)
+          .map(id => s"(${id}, ${4000 + id * 500}, ${40 + id * 8}, 8000)")
+          .mkString(", ")
+        s"""
+        WITH spec AS (
+          SELECT * FROM (VALUES $specRows) AS t(media_id, n, p, rate)
+        ),
+        samples AS (
+          SELECT media_id, n, rate, i,
+            CASE WHEN (i % p) < p // 2
+                 THEN (4 * 16384 * (i % p)) // p - 16384
+                 ELSE 3 * 16384 - (4 * 16384 * (i % p)) // p END AS s
+          FROM spec, UNNEST(RANGE(0, n)) AS t(i)
+        ),
+        lagged AS (
+          SELECT *, LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS ps
+          FROM samples
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+          CAST(COUNT(*) AS BIGINT) AS n_samples,
+          CAST(COUNT(*) * 1000 // MAX(rate) AS BIGINT) AS duration_ms,
+          CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+          CAST(SUM(CASE WHEN ps IS NOT NULL AND ((s < 0) <> (ps < 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+          ${QueryDef.oSnap("SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*))", 4)} AS rms
+        FROM lagged
+        GROUP BY media_id
+      """
+      }
     )
   )
 }

@@ -208,6 +208,51 @@ class InfraSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == li.count())
   }
 
+  test("decodeWavPcm16 round-trips synthesized PCM exactly and rejects non-WAV bytes") {
+    val sr = 8000
+    val samples = Array.tabulate(800)(i => (math.sin(2 * math.Pi * i * 440 / sr) * 16000).toShort)
+    val f = MultimodalOps.decodeWavPcm16(MultimodalOps.synthesizeWavPcm16(samples, sr)).get
+    assert(f.sampleRate == sr && f.channels == 1 && f.bitsPerSample == 16)
+    assert(f.nSamples == 800 && f.durationMs == 100)
+    assert(f.peakAbs == samples.map(s => math.abs(s.toLong)).max)
+    assert(f.sumSquares == samples.map(s => s.toLong * s).sum)
+    val zcRef = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(f.zeroCrossings == zcRef)
+    assert(MultimodalOps.decodeWavPcm16("definitely not a wav".getBytes).isEmpty)
+    // stereo/8-bit content must fall through to the stub, not misparse
+    val stereoHdr = MultimodalOps.synthesizeWavPcm16(samples.take(4), sr).clone()
+    stereoHdr(22) = 2 // channels = 2
+    assert(MultimodalOps.decodeWavPcm16(stereoHdr).isEmpty)
+  }
+
+  test("decodeBmp24 parses a hand-built padded bitmap exactly") {
+    // 3x2, 24bpp: rowLen = 12 (3 pad bytes per row), bottom-up, BGR
+    val w = 3; val h = 2; val rowLen = 12
+    val buf = java.nio.ByteBuffer.allocate(54 + rowLen * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowLen * h)
+      .putInt(0).putInt(54)                     // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)           // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0)       // planes, bpp, BI_RGB
+      .putInt(rowLen * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom row first: pixels (r,g,b) = (10,20,30),(40,50,60),(70,80,90)
+    // top row: (1,2,3),(4,5,6),(7,8,9); stored BGR + 3 pad bytes
+    val bottom = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90))
+    val top    = Seq((1, 2, 3), (4, 5, 6), (7, 8, 9))
+    for (row <- Seq(bottom, top)) {
+      row.foreach { case (r, g, b) =>
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      buf.put(Array[Byte](0, 0, 0))
+    }
+    val f = MultimodalOps.decodeBmp24(buf.array()).get
+    assert(f.width == 3 && f.height == 2 && f.bitsPerPixel == 24)
+    assert(f.sumR == (bottom ++ top).map(_._1).sum)
+    assert(f.sumG == (bottom ++ top).map(_._2).sum)
+    assert(f.sumB == (bottom ++ top).map(_._3).sum)
+    assert(MultimodalOps.decodeBmp24(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("observe() collects data-quality metrics in the same pass as the action") {
     // Single-pass DQ accounting: Observation metrics ride the query's
     // own execution (no second scan of the fact table) — the
