@@ -387,11 +387,15 @@ object CurationQueries {
       "q_charlm_perplexity",
       (s, dir) => {
         val docs = T(s, dir).documents.select(col("doc_id"), col("text"))
+        // persisted: the exploded bigram table feeds BOTH the model
+        // build (cb/cp aggregations) and the scoring join — without it
+        // the transform+explode pass over every document runs twice
         val bi = docs
           .select(col("doc_id"),
             explode(when(length(col("text")) >= 2,
               expr("transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
               .otherwise(array())).as("bg"))
+          .persist()
         val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
         val cp = cb.groupBy(substring(col("bg"), 1, 1).as("pc"))
           .agg(sum(col("c_bg")).as("c_pc"))
