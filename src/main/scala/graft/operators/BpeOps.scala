@@ -1,0 +1,181 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: distributed vocabulary counting +
+  * merge-table training + corpus tokenization.
+  *
+  * The engine's token statistics so far (TextOps.tokenStats) count
+  * whitespace/regex pre-tokens; a training-data pipeline also needs the
+  * real subword step — train a BPE merge table on the corpus, then
+  * tokenize with it (sequence packing, context-length budgeting and
+  * per-source token accounting all want SUBWORD counts, since that is
+  * what the trainer consumes).
+  *
+  * Scale shape (the subword-nmt / HuggingFace-trainer design):
+  *  - `wordCounts` is the only stage that touches the corpus: one
+  *    explode over the pre-tokenizer + one hash shuffle on the word —
+  *    map-side combined, linear in corpus size.
+  *  - training then runs over the aggregated (word, freq) table, whose
+  *    size is the pre-token VOCABULARY (Heaps' law — millions of
+  *    entries for a 100 TB web corpus, not trillions), driver-side with
+  *    the standard `minCount` trainer knob bounding the collect. This
+  *    mirrors every production BPE trainer: counting distributes,
+  *    the merge loop itself is inherently sequential (merge k+1's
+  *    counts depend on merge k) and runs over counts, not text.
+  *  - `tokenize` broadcasts the finished merge table (numMerges rows)
+  *    and encodes each document in a single narrow pass — no shuffle,
+  *    embarrassingly parallel, linear in corpus size.
+  *
+  * Determinism: pair selection is totally ordered by
+  * (freq DESC, left ASC, right ASC); counting is exact integer
+  * arithmetic, so training is invariant to partitioning and collect
+  * order. Encoding applies the lowest-rank merge repeatedly
+  * (HF-tokenizers apply order), scanning left-to-right without overlap
+  * — per-word deterministic.
+  */
+object BpeOps {
+
+  /** End-of-word marker appended as its own initial symbol, so merges
+    * can distinguish suffixes from word-internal n-grams (Sennrich et
+    * al. 2016 convention). */
+  val Eow = "</w>"
+
+  /** Lower-cased alnum-run pre-tokenizer; mirrored exactly by the
+    * oracle side (`tools/check_bpe.py`). */
+  val WordPattern = "[a-z0-9]+"
+
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String, pairFreq: Long)
+
+  /** Distributed pre-tokenization + word counting — one corpus scan,
+    * one map-side-combined shuffle keyed on the word. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)), lit(WordPattern), lit(0))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Train a merge table on a corpus: distributed counting, then the
+    * sequential merge loop over the bounded word-frequency table. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int, minCount: Long = 1L): Seq[BpeMerge] = {
+    val wf = wordCounts(docs, textCol)
+      .filter(col("freq") >= minCount)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
+    trainFromCounts(wf, numMerges)
+  }
+
+  /** The classic BPE trainer over a (word, freq) table. Stops early
+    * when the best remaining pair occurs fewer than `minPairFreq`
+    * times (subword-nmt's min_frequency, default 2 — a merge seen once
+    * is noise). */
+  def trainFromCounts(
+      wordFreq: Seq[(String, Long)],
+      numMerges: Int,
+      minPairFreq: Long = 2L): Seq[BpeMerge] = {
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toArray :+ Eow, f) }.toArray
+    val merges = mutable.ArrayBuffer.empty[BpeMerge]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      // total order: freq DESC, then pair lexicographic — hash-map
+      // iteration order can never leak into the result
+      val best = counts.minByOption { case ((l, r), c) => (-c, l, r) }(
+        Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String))
+      best match {
+        case Some(((l, r), c)) if c >= minPairFreq =>
+          words = words.map { case (syms, f) => (mergePass(syms, l, r), f) }
+          merges += BpeMerge(merges.length, l, r, c)
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Replace every (lhs, rhs) adjacency with the fused symbol, scanning
+    * left-to-right without overlap (a merged position cannot seed the
+    * next match) — the same pass used at train and at encode time. */
+  def mergePass(syms: Array[String], lhs: String, rhs: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+        out += lhs + rhs
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Encode one pre-token: repeatedly apply the lowest-rank merge
+    * present until none applies (HF-tokenizers apply order; train-time
+    * and encode-time segmentations agree on any corpus word). */
+  def encodeWord(word: String, merges: IndexedSeq[BpeMerge], ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray :+ Eow
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < bestRank) bestRank = rk
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val m = merges(bestRank)
+        syms = mergePass(syms, m.lhs, m.rhs)
+        if (syms.length <= 1) continue = false
+      }
+    }
+    syms
+  }
+
+  /** Tokenize a corpus with a trained merge table: broadcast the table,
+    * one narrow pass, no shuffle. Adds exact per-document counts
+    * (`n_words`, `n_tokens`, `n_alnum_chars`) alongside the input
+    * columns. */
+  def tokenize(docs: DataFrame, textCol: String, merges: Seq[BpeMerge]): DataFrame = {
+    val table = merges.toIndexedSeq
+    val b = docs.sparkSession.sparkContext.broadcast(
+      (table, table.map(m => (m.lhs, m.rhs) -> m.rank).toMap))
+    val enc = udf { (ws: Seq[String]) =>
+      val (tbl, ranks) = b.value
+      var words = 0L
+      var toks  = 0L
+      var chars = 0L
+      ws.foreach { w =>
+        words += 1
+        chars += w.length
+        toks += encodeWord(w, tbl, ranks).length
+      }
+      (words, toks, chars)
+    }
+    docs
+      .withColumn("_bpe",
+        enc(regexp_extract_all(lower(col(textCol)), lit(WordPattern), lit(0))))
+      .withColumn("n_words", col("_bpe._1"))
+      .withColumn("n_tokens", col("_bpe._2"))
+      .withColumn("n_alnum_chars", col("_bpe._3"))
+      .drop("_bpe")
+  }
+
+  /** Token sequence for one document — spec/debug surface for the
+    * round-trip property (concat(tokens) == concat(words) + markers). */
+  def encodeText(text: String, merges: Seq[BpeMerge]): Seq[String] = {
+    val table = merges.toIndexedSeq
+    val ranks = table.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    WordPattern.r.findAllIn(text.toLowerCase).toSeq
+      .flatMap(w => encodeWord(w, table, ranks))
+  }
+}

@@ -202,6 +202,99 @@ object MultimodalOps {
       else (299L * sumR + 587L * sumG + 114L * sumB).toDouble / (1000.0 * nPixels)
   }
 
+  /** Encode a width×height 24-bit uncompressed BMP from a pixel
+    * function (r,g,b in 0..255): BITMAPINFOHEADER, bottom-up row
+    * order, BGR bytes, rows padded to 4-byte boundaries — the exact
+    * layout [[decodeBmp24]]/[[bmpGrayGridSums]] parse back. */
+  def synthesizeBmp24(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowLen = ((width * 3 + 3) / 4) * 4
+    val size   = 54 + rowLen * height
+    val out = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      .putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(rowLen * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var yStored = 0
+    while (yStored < height) {
+      val yTop = height - 1 - yStored // stored bottom-up
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, yTop)
+        out.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowLen - width * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      yStored += 1
+    }
+    out.array()
+  }
+
+  /** Grid-pooled grayscale from a 24-bit BMP: exact integer sums of
+    * 1000×luma (299r+587g+114b) per (gridW × gridH) cell, in TOP-DOWN
+    * logical orientation regardless of the stored row order. Width and
+    * height must divide evenly into the grid (the dHash path uses
+    * 36×32 → 9×8). This is the decode step of the perceptual-hash
+    * dedup — all integer, so the downstream hash is engine-exact. */
+  def bmpGrayGridSums(bytes: Array[Byte], gridW: Int, gridH: Int): Option[Array[Long]] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val pixelOff = le32(bytes, 10)
+    if (le32(bytes, 14) < 40) return None
+    val w    = le32(bytes, 18)
+    val h    = le32(bytes, 22)
+    val bpp  = le16(bytes, 28)
+    val comp = le32(bytes, 30)
+    if (bpp != 24 || comp != 0 || w <= 0 || h == 0) return None
+    val height = math.abs(h)
+    if (w % gridW != 0 || height % gridH != 0) return None
+    val rowLen = ((w * 3 + 3) / 4) * 4
+    if (pixelOff < 0 || pixelOff.toLong + rowLen.toLong * height > bytes.length) return None
+    val cw    = w / gridW
+    val ch    = height / gridH
+    val cells = new Array[Long](gridW * gridH)
+    var yTop  = 0
+    while (yTop < height) {
+      val yStored = if (h > 0) height - 1 - yTop else yTop
+      val base    = pixelOff + yStored * rowLen
+      val cy      = yTop / ch
+      var x       = 0
+      while (x < w) {
+        val b    = bytes(base + 3 * x) & 0xff
+        val g    = bytes(base + 3 * x + 1) & 0xff
+        val r    = bytes(base + 3 * x + 2) & 0xff
+        cells(cy * gridW + x / cw) += 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      yTop += 1
+    }
+    Some(cells)
+  }
+
+  /** dHash over a (gridW+1)×gridH cell grid: bit i = cy*gridW+cx set
+    * when cell(cx,cy) < cell(cx+1,cy) (row-wise gradient sign — the
+    * classic difference hash). Returned as two 32-bit halves in BIGINTs
+    * so band extraction and hamming stay sign-free in ANY SQL engine.
+    * Requires gridW*gridH == 64. */
+  def dhashBits(cells: Array[Long], gridCols: Int, gridRows: Int): (Long, Long) = {
+    val gw = gridCols - 1
+    require(gw * gridRows == 64, s"dhash needs 64 bits, got ${gw}x$gridRows")
+    var lo = 0L
+    var hi = 0L
+    var cy = 0
+    while (cy < gridRows) {
+      var cx = 0
+      while (cx < gw) {
+        if (cells(cy * gridCols + cx) < cells(cy * gridCols + cx + 1)) {
+          val i = cy * gw + cx
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    (lo, hi)
+  }
+
   /** REAL parser for uncompressed 24-bit BITMAPINFOHEADER BMPs:
     * bottom-up row order, 4-byte row padding, BGR byte order. Returns
     * None for anything else (compressed/other-depth falls back to the

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextClassifierOps
+import graft.runtime.Tables
+import graft.queries.QueryDef.dsum
+
+/** Hashed-trigram domain-classifier queries: train the rule-distilled
+  * logistic student on the corpus, then (a) evaluate it against its
+  * teacher per source and (b) expose the strongest learned weights.
+  *
+  * The teacher is a keyword-density rule in exact integer arithmetic
+  * (100*kw >= 13*n — calibrated to a ~52/48 class split on this
+  * corpus); the student reaches ~89% teacher agreement from hashed
+  * char trigrams alone. Oracles are stored goldens of the
+  * deterministic sf0.01 run (training is not SQL-expressible);
+  * `tools/check_domain_lr.py` independently retrains in numpy and
+  * must reproduce the integer columns exactly and the float columns
+  * to tolerance.
+  */
+object ClassifierQueries {
+
+  private val Dims         = 256
+  private val Keywords     = Set("spark", "query", "join", "hash")
+  private val ThresholdPct = 13
+  private val Lr           = 2.0
+  private val Iters        = 20
+
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  private def trainedAndScored(s: SparkSession, dir: String): (Array[Double], DataFrame) = {
+    val feats = TextClassifierOps.featurize(
+      T(s, dir).documents, "text", Keywords, ThresholdPct, Dims)
+    val w = TextClassifierOps.trainLogReg(feats, Dims, Lr, Iters)
+    (w, TextClassifierOps.score(feats, w))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Teacher-vs-student confusion accounting per source — the
+    // decision surface a curation pipeline acts on.
+    QueryDef(
+      "q_domain_classifier_eval",
+      (s, dir) => {
+        val (_, scored) = trainedAndScored(s, dir)
+        scored
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("label")).cast("bigint").as("n_teacher_pos"),
+            sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_pred_pos"),
+            sum(when((col("score") >= 0.5) === (col("label") === 1.0), 1L).otherwise(0L))
+              .as("n_agree"),
+            round(dsum(col("score")) / count(lit(1)), 4).as("mean_score"))
+      },
+      TextMlGolden.domainClassifierEval
+    ),
+    // The 20 strongest learned buckets (|weight| DESC, bucket ASC):
+    // the interpretable half of the hashing trick — collisions and
+    // all, these are the trigram buckets the teacher rule projects
+    // onto.
+    QueryDef(
+      "q_domain_classifier_weights",
+      (s, dir) => {
+        import s.implicits._
+        val (w, _) = trainedAndScored(s, dir)
+        w.zipWithIndex
+          .map { case (wt, i) => (i.toLong, wt) }
+          .toSeq
+          .toDF("bucket", "weight")
+          .orderBy(abs(col("weight")).desc, col("bucket").asc)
+          .limit(20)
+          .select(col("bucket"), round(col("weight"), 6).as("weight"))
+      },
+      TextMlGolden.domainClassifierWeights
+    )
+  )
+}

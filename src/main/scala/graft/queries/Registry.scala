@@ -29,7 +29,8 @@ object Registry {
       DataDictionaryQueries.defs ++ StreamingQueries.defs ++ AlertQueries.defs ++
       CurationQueries.defs ++ SketchQueries.defs ++ OlapQueries.defs ++
       GraphQueries.defs ++ ModelDagQueries.defs ++ DataPointQueries.defs ++
-      ScaleJoinQueries.defs ++ EmbeddingQueries.defs
+      ScaleJoinQueries.defs ++ EmbeddingQueries.defs ++ BpeQueries.defs ++
+      ClassifierQueries.defs ++ ImageDedupQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -24,8 +24,12 @@ package graft.queries
   * tools/check_numeric.py's numpy mirror.
   */
 object TextMlGolden {
-  def docClusters: Option[String] = TextMlGoldenData.docClusters
-  def docTopics: Option[String]   = TextMlGoldenData.docTopics
-  def annIvfTopk: Option[String]  = TextMlGoldenData.annIvfTopk
-  def annPqTopk: Option[String]   = TextMlGoldenData.annPqTopk
+  def docClusters: Option[String]   = TextMlGoldenData.docClusters
+  def docTopics: Option[String]     = TextMlGoldenData.docTopics
+  def annIvfTopk: Option[String]    = TextMlGoldenData.annIvfTopk
+  def annPqTopk: Option[String]     = TextMlGoldenData.annPqTopk
+  def bpeMerges: Option[String]     = TextMlGoldenData.bpeMerges
+  def bpeTokenStats: Option[String] = TextMlGoldenData.bpeTokenStats
+  def domainClassifierEval: Option[String]    = TextMlGoldenData.domainClassifierEval
+  def domainClassifierWeights: Option[String] = TextMlGoldenData.domainClassifierWeights
 }
