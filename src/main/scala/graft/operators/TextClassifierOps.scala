@@ -5,7 +5,6 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Hashed-n-gram linear text classifier (the fastText / CCNet-style
   * curation scorer): distill a cheap rule "teacher" into a hashed
@@ -52,6 +51,14 @@ object TextClassifierOps {
     (java.lang.Long.parseLong(hex, 16) % dims).toInt
   }
 
+  /** Per-task memo over the (small) distinct-trigram space so the md5
+    * runs once per trigram, not once per occurrence — the closure map
+    * lives for the task and is a pure cache (same key → same bucket),
+    * so it cannot affect results. */
+  private def cachedBucketOf(cache: scala.collection.mutable.HashMap[String, Int], dims: Int)(
+      tg: String): Int =
+    cache.getOrElseUpdate(tg, bucketOf(tg, dims))
+
   /** One-pass featurization: lowercased [a-z0-9]+ pre-tokens joined by
     * single spaces, char trigrams of that normal form, md5-bucketed
     * counts l1-normalized and rescaled; the bias enters as feature
@@ -66,15 +73,17 @@ object TextClassifierOps {
       thresholdPct: Int,
       dims: Int): DataFrame = {
     val b = docs.sparkSession.sparkContext.broadcast(keywords)
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
     val feat = udf { (text: String) =>
       val ws = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
       val kw = ws.count(b.value.contains)
       val label = if (ws.nonEmpty && 100L * kw >= thresholdPct.toLong * ws.length) 1.0 else 0.0
       val s = ws.mkString(" ")
       val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+      val bucket = cachedBucketOf(memo, dims) _
       var i = 0
       while (i + 3 <= s.length) {
-        val bk = bucketOf(s.substring(i, i + 3), dims)
+        val bk = bucket(s.substring(i, i + 3))
         counts.update(bk, counts.getOrElse(bk, 0L) + 1L)
         i += 1
       }
@@ -99,35 +108,64 @@ object TextClassifierOps {
       1.0 / (1.0 + math.exp(-m))
     }
 
-  /** Full-batch logistic-regression GD: broadcast weights, exact
-    * decimal gradient aggregation, driver-side update of the bounded
-    * dims+1 vector. */
+  /** Full-batch logistic-regression GD: broadcast weights, per-
+    * partition EXACT BigDecimal gradient accumulation into a dense
+    * dims+1 vector, driver-side exact combine — the treeAggregate
+    * shape every distributed linear trainer uses (gradient size is
+    * bounded by dims, so NO shuffle is needed at all; shipping
+    * n×nnz (bucket, contribution) rows through an exchange per
+    * iteration would scale with the corpus instead). Contributions
+    * are quantized to scale 18 HALF_UP — the same rounding as a
+    * Catalyst double→DECIMAL(38,18) cast — before the exact sums, so
+    * the result is bit-identical under any partitioning (decimal
+    * addition is associative/commutative). */
   def trainLogReg(
       features: DataFrame,
       dims: Int,
       lr: Double,
       iters: Int): Array[Double] = {
     val spark = features.sparkSession
-    val f = features.select(col("label"), col("fidx"), col("fval")).persist()
-    val n = f.count().toDouble
+    val rdd = features.select(col("label"), col("fidx"), col("fval")).rdd
+      .map { row =>
+        (row.getDouble(0), row.getSeq[Int](1).toArray, row.getSeq[Double](2).toArray)
+      }
+      .persist()
+    val n = rdd.count().toDouble
     val w = new Array[Double](dims + 1)
     for (_ <- 0 until iters) {
       val bw = spark.sparkContext.broadcast(w.clone())
-      val grad = f
-        .withColumn("g", dotUdf(bw)(col("fidx"), col("fval")) - col("label"))
-        .select(explode(arrays_zip(col("fidx"), col("fval"))).as("z"), col("g"))
-        .select(col("z.fidx").as("idx"),
-          (col("g") * col("z.fval")).cast(DecimalType(38, 18)).as("c"))
-        .groupBy("idx")
-        .agg(sum(col("c")).as("s"))
-        .collect()
-      grad.foreach { r =>
-        val idx = r.getInt(0)
-        w(idx) -= lr * r.getDecimal(1).doubleValue() / n
+      val parts = rdd.mapPartitions { it =>
+        val acc = Array.fill(dims + 1)(java.math.BigDecimal.ZERO)
+        it.foreach { case (y, idx, v) =>
+          var m = 0.0
+          var i = 0
+          while (i < idx.length) { m += bw.value(idx(i)) * v(i); i += 1 }
+          val g = 1.0 / (1.0 + math.exp(-m)) - y
+          i = 0
+          while (i < idx.length) {
+            acc(idx(i)) = acc(idx(i)).add(
+              new java.math.BigDecimal(g * v(i)).setScale(18, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }.collect()
+      // exact decimal combine across partitions FIRST, then one
+      // double conversion per bucket — a per-partition double update
+      // would re-round partition-count-dependently
+      val total = Array.fill(dims + 1)(java.math.BigDecimal.ZERO)
+      parts.foreach { acc =>
+        var i = 0
+        while (i <= dims) { total(i) = total(i).add(acc(i)); i += 1 }
+      }
+      var i = 0
+      while (i <= dims) {
+        if (total(i).signum != 0) w(i) -= lr * total(i).doubleValue() / n
+        i += 1
       }
       bw.destroy()
     }
-    f.unpersist()
+    rdd.unpersist()
     w
   }
 

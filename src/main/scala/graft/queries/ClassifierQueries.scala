@@ -31,8 +31,11 @@ object ClassifierQueries {
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
   private def trainedAndScored(s: SparkSession, dir: String): (Array[Double], DataFrame) = {
-    val feats = TextClassifierOps.featurize(
-      T(s, dir).documents, "text", Keywords, ThresholdPct, Dims)
+    // the corpus ships as one row group -> one partition; the
+    // UDF-heavy featurize pass would run single-threaded without this
+    // (training is spec-proven invariant to partitioning)
+    val docs = T(s, dir).documents.repartition(s.sparkContext.defaultParallelism)
+    val feats = TextClassifierOps.featurize(docs, "text", Keywords, ThresholdPct, Dims)
     val w = TextClassifierOps.trainLogReg(feats, Dims, Lr, Iters)
     (w, TextClassifierOps.score(feats, w))
   }
