@@ -288,4 +288,28 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("BPE word counting is one map-side-combined shuffle") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.BpeOps.wordCounts(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      "the only corpus-scale BPE stage must shuffle exactly once")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "word counts must partial-aggregate before the exchange")
+    assert(!plan.contains("Sort "), "no sort in the counting path")
+  }
+
+  test("image dHash candidate generation is a band-bucket equi join, never BNLJ") {
+    val plan = executedPlan("q_image_dhash_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "dHash pairs must come from the (band, value) hash join")
+  }
+
+  test("symspell fuzzy join is a variant equi join, never BNLJ") {
+    val plan = executedPlan("q_symspell_linkage")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "deletion-neighborhood candidates must come from the variant hash join")
+  }
 }
