@@ -418,6 +418,56 @@ object SketchQueries {
         QUALIFY ROW_NUMBER() OVER (ORDER BY e.est_count DESC, e.l_partkey ASC) <= 25
       """
       }
+    ),
+    // Space-Saving heavy hitters (functions/SpaceSavingAggregator):
+    // bounded-memory mergeable top-k frequency over a ~600-key skewed
+    // stream with k=64 counters. Estimates are merge-order-dependent
+    // (inherent), so the oracle follows the percentile_approx
+    // discipline: the output is the deterministic guaranteed-heavy
+    // set (64*count > N) with its EXACT counts, plus the two flags
+    // the sketch guarantees — tracked (freq > N/k items must be in
+    // the summary) and count-err <= true <= count. A guarantee
+    // violation flips a flag and fails the hash gate; the noisy
+    // estimates never enter the compare.
+    QueryDef(
+      "q_spacesaving_heavy_hitters",
+      (s, dir) => {
+        val keyExpr = expr(
+          """CASE WHEN length(CAST(l_partkey AS STRING)) >= 4
+               THEN concat('d', length(CAST(l_partkey AS STRING)), '-', l_returnflag)
+               ELSE concat('d', length(CAST(l_partkey AS STRING)), '-', l_returnflag,
+                           '-', CAST(l_partkey % 97 AS STRING)) END""")
+        val keyed = Tables(s, dir).lineitem.select(keyExpr.as("key"))
+        val sketch = keyed
+          .agg(graft.functions.SpaceSavingAggregator.spaceSaving(64, col("key")).as("s"))
+          .select(explode(arrays_zip(col("s.items"), col("s.counts"), col("s.errs"))).as("z"))
+          .select(col("z.items").as("key"), col("z.counts").as("est"), col("z.errs").as("err"))
+        val exact = keyed.groupBy("key").agg(count(lit(1)).as("cnt"))
+        val total = exact.agg(sum(col("cnt")).as("n"))
+        exact
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 64 > col("n"))
+          .join(sketch, Seq("key"), "left")
+          .select(
+            col("key"),
+            col("cnt"),
+            col("est").isNotNull.as("tracked"),
+            (col("est").isNotNull && col("est") >= col("cnt") &&
+              col("est") - col("err") <= col("cnt")).as("bound_ok"))
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT CASE WHEN length(CAST(l_partkey AS VARCHAR)) >= 4
+            THEN 'd' || length(CAST(l_partkey AS VARCHAR)) || '-' || l_returnflag
+            ELSE 'd' || length(CAST(l_partkey AS VARCHAR)) || '-' || l_returnflag
+                 || '-' || CAST(l_partkey % 97 AS VARCHAR) END AS key
+          FROM lineitem
+        ),
+        ex AS (SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY 1),
+        n AS (SELECT SUM(cnt) AS t FROM ex)
+        SELECT key, CAST(cnt AS BIGINT) AS cnt, TRUE AS tracked, TRUE AS bound_ok
+        FROM ex, n WHERE 64 * cnt > t
+      """)
     )
   )
 }

@@ -144,4 +144,42 @@ class SketchSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(1)
     assert(probe >= 0L)
   }
+
+  private def ssSummary(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, (Long, Long)] = {
+    df.agg(graft.functions.SpaceSavingAggregator.spaceSaving(k, col("key")).as("s"))
+      .select(explode(arrays_zip(col("s.items"), col("s.counts"), col("s.errs"))).as("z"))
+      .select(col("z.items"), col("z.counts"), col("z.errs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("spaceSaving is exact (err 0) when distinct keys fit in k") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => s"k${i % 7}").toDF("key")
+    val s = ssSummary(df.repartition(5), k = 16)
+    assert(s.size == 7)
+    val exact = (1 to 300).groupBy(i => s"k${i % 7}").view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (key, c) => assert(s(key) == ((c, 0L))) }
+  }
+
+  test("spaceSaving guarantees hold under any partitioning on a skewed stream") {
+    import spark.implicits._
+    // zipf-ish: key j appears ~3000/j times -> a handful of heavy keys
+    val rows = (1 to 60).flatMap(j => Seq.fill(3000 / j)(s"z$j"))
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val k = 12
+    for (parts <- Seq(1, 4, 9)) {
+      val s = ssSummary(rows.toDF("key").repartition(parts), k)
+      assert(s.size <= k)
+      // any key with freq > N/k must be tracked
+      exact.filter { case (_, c) => c * k > n }.keys.foreach { key =>
+        assert(s.contains(key), s"guaranteed heavy hitter $key missing at parts=$parts")
+      }
+      // every tracked estimate brackets the truth: c - err <= true <= c
+      s.foreach { case (key, (c, e)) =>
+        val t = exact.getOrElse(key, 0L)
+        assert(t <= c && c - e <= t, s"bound violated for $key: est=$c err=$e true=$t")
+      }
+    }
+  }
 }
