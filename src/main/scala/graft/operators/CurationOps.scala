@@ -180,4 +180,40 @@ object CurationOps {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .withColumn("kept", col("sample_rank") <= cap)
   }
+
+  /** Deterministic epoch-shuffle shard manifest: the "global shuffle"
+    * a training run needs, as a reproducible permutation rather than
+    * an RNG pass. Each document's shuffle key is a Knuth-multiplicative
+    * hash of its id mod a prime (decorrelated from ingest order); its
+    * shard is `key mod numShards`; within a shard, documents are
+    * sequenced by (key, id) and annotated with the exact token offset
+    * where they begin — everything a distributed data loader needs to
+    * map (shard, step) → documents without any coordination.
+    *
+    * Scale: hash-mod sharding needs NO global rank (a total-order
+    * row_number would serialize the corpus through one task); shards
+    * are balanced by the hash to ±O(√(n/shards)). The only shuffle is
+    * the per-shard window — exactly the write-side shuffle a sharded
+    * output pays anyway. Products stay < 2^53 for ids < 2^21; a
+    * 100 TB id space lifts the same expression to DECIMAL(38,0).
+    */
+  def epochShardManifest(
+      docs: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val key = pmod(col("doc_id") * lit(2654435761L), lit(999983L))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), tokenCount.as("n_tokens"))
+      .withColumn("shuffle_key", key)
+      .withColumn("shard_id", pmod(col("shuffle_key"), lit(numShards.toLong)))
+      .withColumn("seq_in_shard", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        coalesce(
+          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("shard_id"), col("seq_in_shard"),
+        col("n_tokens"), col("tok_offset"))
+  }
 }

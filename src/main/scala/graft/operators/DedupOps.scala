@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication operators over a documents table.
@@ -481,5 +482,77 @@ object DedupOps {
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
     labels
+  }
+
+  /** Exact duplicate-substring spans (the suffix-array dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): every k-token window that
+    * occurs ≥2 times anywhere in the corpus marks all but its first
+    * occurrence for removal; per document, the marked window starts are
+    * merged into maximal spans (gaps-and-islands), giving exactly the
+    * byte ranges a substring-dedup pass would cut.
+    *
+    * Equivalence to the suffix-array formulation: a maximal repeated
+    * substring of length L ≥ k is covered by L−k+1 duplicated k-windows
+    * whose starts are consecutive, so the merged islands reproduce the
+    * repeated region (trailing up to k−1 tokens of a repeat shorter
+    * than k are the approximation boundary, as in the paper's choice of
+    * minimum match length).
+    *
+    * Canonical occurrence = smallest (doc_id, pos) — a total order, so
+    * the keep/cut decision is deterministic under any partitioning.
+    *
+    * Scale: two shuffles. (1) window table keyed by the gram itself —
+    * O(tokens·k) bytes, the honest cost of EXACT substring dedup (the
+    * suffix-array approach sorts the same volume); a 100 TB run would
+    * key by a 128-bit fingerprint (two independent xxhash64 seeds) to
+    * cut shuffle width and verify residual collisions post-join.
+    * (2) islands keyed by doc_id — output-sized. Nothing is collected;
+    * window partitions are bounded by gram frequency, and a
+    * pathological corpus-stopword gram degrades one reducer, which is
+    * the documented salting escape hatch (SkewOps).
+    */
+  def exactSubstringSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+    // 1-based window starts so an external SQL oracle's list slicing
+    // (1-based inclusive) lines up position-for-position.
+    val wins = toks
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(1), size(col("__t")) - (k - 1)),
+            i => concat_ws(" ", slice(col("__t"), i, lit(k))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("gram"))
+    val byGram = Window.partitionBy(col("gram"))
+    val occ = wins
+      .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("cnt", count(lit(1)).over(byGram))
+    val rem = occ.filter(col("cnt") >= 2 && col("rn") > 1).select(col("doc_id"), col("pos"))
+    val byDoc   = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (k - 1)).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    rem
+      // new island when this window starts past the merged frontier
+      // (overlapping OR exactly adjacent windows fuse into one span)
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(
+        col("doc_id"),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
   }
 }

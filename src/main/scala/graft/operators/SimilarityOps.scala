@@ -132,12 +132,15 @@ object SimilarityOps {
     val a = bucketed.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = bucketed.select(col("__bucket"), col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     val pairDot = dot(corpus, col("va"), col("vb"))
+    // No distinct needed: srpBucket assigns each vector exactly ONE
+    // cell, so the bucket equi-join emits every unordered pair at most
+    // once — a dedup here would re-shuffle the whole pair table for
+    // nothing (removing it dropped one exchange from every consumer).
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("na") * col("nb") =!= 0.0, pairDot / (col("na") * col("nb"))).as("cosine_sim"))
       .filter(col("cosine_sim") >= minSim)
-      .distinct()
   }
 
   /** Int8 max-abs embedding quantization (the symmetric per-vector
@@ -159,5 +162,48 @@ object SimilarityOps {
     val q = transform(xd, x =>
       when(lit(0.0) < scale, floor(x / scale + lit(0.5)).cast("int")).otherwise(lit(0)))
     struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Semantic-dedup pruning decisions (SemDeDup, Abbas et al. 2023:
+    * cluster embeddings, then within each cluster drop all but one of
+    * every near-duplicate set). Clusters here are SRP cells — the
+    * data-independent analogue of the paper's k-means partition, which
+    * keeps the whole decision expressible to an external SQL oracle —
+    * and the keep rule is greedy-by-id: a vector is dropped iff some
+    * SMALLER id in its cell is cosine-≥-τ similar. Greedy-by-smallest
+    * retains exactly one representative per duplicate chain and is a
+    * total order, so decisions are partition-invariant.
+    *
+    * Returns one row per vector: its cell, the keep/drop verdict, how
+    * many smaller near-dups it had, and the max similarity to one.
+    *
+    * Scale: the pair join is cell-local (candidate volume bounded by
+    * cell population, never corpus²), the verdict join is keyed by id
+    * — two shuffles total. More planes → smaller cells → tighter
+    * bound, at the usual LSH recall cost across cell boundaries.
+    */
+  def semanticDedupDecisions(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Seq[Seq[Double]],
+      minSim: Double
+  ): DataFrame = {
+    val pairs = cosineNearDupPairs(corpus, idCol, vecCol, planes, minSim)
+    val dupStats = pairs
+      .groupBy(col("id_b").as("__id"))
+      .agg(
+        count(lit(1)).as("n_dups_smaller"),
+        max(col("cosine_sim")).as("max_sim_smaller"))
+    corpus
+      .select(col(idCol).as("vec_id"),
+        srpBucket(col(vecCol), planes).cast("long").as("cell"))
+      .join(dupStats, col("vec_id") === col("__id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell"),
+        col("__id").isNull.as("kept"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        round(col("max_sim_smaller"), 4).as("max_sim_smaller"))
   }
 }

@@ -442,6 +442,39 @@ object CurationQueries {
             AS bits_per_char
         FROM scored GROUP BY 1
       """)
+    ),
+    // Deterministic epoch-shuffle shard manifest: Knuth-multiplicative
+    // shuffle key, hash-mod shard, per-shard (key, id) sequence and
+    // exact token offsets — the reproducible global shuffle a training
+    // run's data loader consumes. No global rank (that would serialize
+    // the corpus through one task); the only shuffle is per-shard.
+    QueryDef(
+      "q_corpus_shard_manifest",
+      (s, dir) =>
+        CurationOps.epochShardManifest(T(s, dir).documents, "doc_id", estBpe,
+          numShards = 8),
+      Some(s"""
+        WITH $tokSql,
+        keyed AS (
+          SELECT doc_id, tok AS n_tokens,
+            (doc_id * 2654435761) % 999983 AS shuffle_key
+          FROM per_doc
+        ),
+        sh AS (
+          SELECT doc_id, n_tokens, shuffle_key,
+            shuffle_key % 8 AS shard_id
+          FROM keyed
+        )
+        SELECT doc_id, shard_id,
+          ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY shuffle_key, doc_id)
+            AS seq_in_shard,
+          n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard_id
+            ORDER BY shuffle_key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS tok_offset
+        FROM sh
+      """)
     )
   )
 }

@@ -106,6 +106,63 @@ object EmbeddingQueries {
         )
         WHERE rk <= 3
       """)
+    ),
+    // SemDeDup pruning decisions (Abbas et al. 2023): SRP cells stand
+    // in for the paper's k-means partition; within a cell a vector is
+    // dropped iff a SMALLER id is cosine->=0.25 similar (greedy-by-id
+    // keeps exactly one representative per duplicate chain and is a
+    // total order — partition-invariant decisions). Cell-local pair
+    // join + id-keyed verdict join: two shuffles, candidate volume
+    // bounded by cell population.
+    QueryDef(
+      "q_semantic_dedup",
+      (s, dir) => {
+        val planes = SimilarityOps.hyperplanes(64, 4)
+        SimilarityOps.semanticDedupDecisions(
+          T(s, dir).embeddings, "vec_id", "embedding", planes, minSim = 0.25)
+      },
+      Some {
+        val planes = SimilarityOps.hyperplanes(64, 4)
+        def dotSql(vec: String, p: Seq[Double]): String =
+          p.zipWithIndex
+            .map { case (w, d) => s"CAST($vec[${d + 1}] AS DOUBLE) * ($w)" }
+            .mkString(" + ")
+        def bucketSql(vec: String): String =
+          planes.zipWithIndex
+            .map { case (p, i) =>
+              s"(CASE WHEN ${dotSql(vec, p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+            }
+            .mkString(" + ")
+        s"""
+        WITH b AS (
+          SELECT vec_id, embedding AS e, ${bucketSql("embedding")} AS cell
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e, cell,
+            SQRT(list_sum(list_transform(range(1, len(e)+1),
+              i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)))) AS nrm
+          FROM b
+        ),
+        pairs AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+            list_sum(list_transform(range(1, len(x.e)+1),
+              i -> CAST(x.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE)))
+              / NULLIF(x.nrm * y.nrm, 0) AS cs
+          FROM n x JOIN n y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        ),
+        dup AS (
+          SELECT id_b AS d_id, CAST(COUNT(*) AS BIGINT) AS n_dups_smaller,
+                 MAX(cs) AS mx
+          FROM pairs WHERE cs >= 0.25 GROUP BY 1
+        )
+        SELECT b.vec_id, CAST(b.cell AS BIGINT) AS cell,
+          d.d_id IS NULL AS kept,
+          COALESCE(d.n_dups_smaller, 0) AS n_dups_smaller,
+          ROUND(d.mx, 4) + 0.0 AS max_sim_smaller
+        FROM b LEFT JOIN dup d ON b.vec_id = d.d_id
+      """
+      }
     )
   )
 }

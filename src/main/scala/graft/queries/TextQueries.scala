@@ -186,6 +186,54 @@ object TextQueries {
         HAVING COUNT(*) > 1
       """)
     ),
+    // Exact duplicate-substring spans (suffix-array dedup of Lee et
+    // al. 2022 re-expressed relationally): 8-token windows occurring
+    // >=2 times corpus-wide, all but the first (doc_id, pos)
+    // occurrence marked, marked starts merged to maximal spans.
+    QueryDef(
+      "q_substring_span_dedup",
+      (s, dir) =>
+        DedupOps.exactSubstringSpans(T(s, dir).documents, "doc_id", "text", k = 8),
+      Some(s"""
+        WITH $tokSql,
+        w AS (
+          SELECT doc_id, UNNEST(range(1, len(t) - 6)) AS pos, t
+          FROM toks WHERE len(t) >= 8
+        ),
+        g AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 array_to_string(t[pos:pos+7], ' ') AS gram
+          FROM w
+        ),
+        occ AS (
+          SELECT doc_id, pos,
+            ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+            COUNT(*) OVER (PARTITION BY gram) AS cnt
+          FROM g
+        ),
+        rem AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+        isl AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos > COALESCE(MAX(pos + 7) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                 THEN 1 ELSE 0 END AS nw
+          FROM rem
+        ),
+        isl2 AS (
+          SELECT doc_id, pos,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl
+        )
+        SELECT doc_id,
+          MIN(pos) AS span_start,
+          MAX(pos) + 7 AS span_end,
+          MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
+          COUNT(*) AS n_windows
+        FROM isl2 GROUP BY doc_id, grp
+      """)
+    ),
     // Per-document quality/statistics features (length bands, token
     // mix, punctuation) — training-data quality scoring.
     QueryDef(

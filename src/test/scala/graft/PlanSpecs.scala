@@ -312,4 +312,29 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "deletion-neighborhood candidates must come from the variant hash join")
   }
+
+  test("substring-span dedup is exactly two exchanges (gram, then doc)") {
+    val plan = executedPlan("q_substring_span_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      "one gram-keyed shuffle + one doc-keyed shuffle; the island " +
+        "aggregation must reuse the doc_id window partitioning")
+    assert(!plan.contains("SinglePartition"), "no global window allowed")
+  }
+
+  test("epoch shard manifest is one per-shard exchange, no global rank") {
+    val plan = executedPlan("q_corpus_shard_manifest")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "hash-mod sharding must not add shuffles beyond the per-shard window")
+    assert(!plan.contains("SinglePartition"),
+      "a total-order row_number would serialize the corpus through one task")
+  }
+
+  test("semantic dedup is cell-local pairs + id-keyed verdict join, never BNLJ") {
+    val plan = executedPlan("q_semantic_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "pair candidates must come from the cell equi-join")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      "pair stats + verdict join only; the redundant pair-distinct " +
+        "shuffle must stay gone")
+  }
 }

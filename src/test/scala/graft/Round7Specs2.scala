@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CurationOps, DedupOps, SimilarityOps}
+
+/** Round-7 phase-4 operators: exact substring-span dedup, epoch-shard
+  * manifest, SemDeDup pruning decisions. Hand-derived fixtures plus
+  * determinism-under-repartitioning checks.
+  */
+class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("round7-phase4-specs")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("substring spans: cross-doc repeat keeps first occurrence, cuts second") {
+    import spark.implicits._
+    // "a b c d" repeats (as two overlapping 3-windows) inside doc 2;
+    // canonical occurrences are doc 1's, so only doc 2 carries a span.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.exactSubstringSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+    assert(spans.length == 1)
+    val r = spans(0)
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Long]("span_start") == 3L) // "a b c" starts at token 3
+    assert(r.getAs[Long]("span_end") == 6L)   // "b c d" ends at token 6
+    assert(r.getAs[Long]("span_tokens") == 4L)
+    assert(r.getAs[Long]("n_windows") == 2L)
+  }
+
+  test("substring spans: within-doc repetition cuts the tail repeat") {
+    import spark.implicits._
+    val docs = Seq((7L, "p q r s p q r s")).toDF("doc_id", "text")
+    // windows: pqr(1) qrs(2) rsp(3) spq(4) pqr(5) qrs(6); dups at 5,6
+    val spans = DedupOps.exactSubstringSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+    assert(spans.length == 1)
+    val r = spans(0)
+    assert(r.getAs[Long]("span_start") == 5L && r.getAs[Long]("span_end") == 8L)
+    assert(r.getAs[Long]("n_windows") == 2L)
+  }
+
+  test("substring spans: disjoint repeats stay separate islands") {
+    import spark.implicits._
+    // two repeated 3-grams far apart in doc 2 -> two spans, not one
+    val docs = Seq(
+      (1L, "a b c m n o p q r s t u v w x d e f"),
+      (2L, "a b c z1 z2 z3 z4 z5 z6 z7 d e f")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.exactSubstringSpans(docs, "doc_id", "text", k = 3)
+      .where(col("doc_id") === 2L).orderBy("span_start").collect()
+    assert(spans.length == 2)
+    assert(spans(0).getAs[Long]("span_start") == 1L)
+    assert(spans(0).getAs[Long]("span_end") == 3L)
+    assert(spans(1).getAs[Long]("span_start") == 11L)
+    assert(spans(1).getAs[Long]("span_end") == 13L)
+  }
+
+  test("substring spans: partition-invariant decisions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = DedupOps.exactSubstringSpans(docs, "doc_id", "text", k = 8)
+    val b = DedupOps.exactSubstringSpans(docs.repartition(13), "doc_id", "text", k = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("epoch shard manifest: exact hand-computed keys, offsets, balance") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val m = CurationOps.epochShardManifest(docs, "doc_id", lit(10L), numShards = 8)
+      .collect()
+    assert(m.length == 64)
+    m.foreach { r =>
+      val id  = r.getAs[Long]("doc_id")
+      val key = java.lang.Math.floorMod(id * 2654435761L, 999983L)
+      assert(r.getAs[Long]("shard_id") == key % 8)
+      // every doc contributes 10 tokens: offset = (seq-1)*10 exactly
+      assert(r.getAs[Long]("tok_offset") == (r.getAs[Long]("seq_in_shard") - 1) * 10)
+    }
+    // hash-mod balance at n=64: no shard empty, none dominant
+    val sizes = m.groupBy(_.getAs[Long]("shard_id")).view.mapValues(_.length)
+    assert(sizes.size == 8 && sizes.values.max <= 16)
+  }
+
+  test("epoch shard manifest: deterministic under repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tok  = size(DedupOps.tokens(col("text"))).cast("long")
+    val a = CurationOps.epochShardManifest(docs, "doc_id", tok, 8)
+    val b = CurationOps.epochShardManifest(docs.repartition(17), "doc_id", tok, 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("semantic dedup: duplicate vector dropped, orthogonal kept, cells keep a representative") {
+    import spark.implicits._
+    val planes = SimilarityOps.hyperplanes(4, 2)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact dup of 1 -> dropped
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f))  // orthogonal -> kept
+    ).toDF("vec_id", "embedding")
+    val d = SimilarityOps
+      .semanticDedupDecisions(vecs, "vec_id", "embedding", planes, minSim = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(d(1L).getAs[Boolean]("kept"))
+    assert(!d(2L).getAs[Boolean]("kept"))
+    assert(d(2L).getAs[Double]("max_sim_smaller") == 1.0)
+    assert(d(3L).getAs[Boolean]("kept"))
+    // invariant: smallest id of every cell is always kept
+    val byCell = d.values.groupBy(_.getAs[Long]("cell"))
+    byCell.values.foreach { rs =>
+      val minId = rs.map(_.getAs[Long]("vec_id")).min
+      assert(rs.find(_.getAs[Long]("vec_id") == minId).get.getAs[Boolean]("kept"))
+    }
+  }
+
+  test("semantic dedup on fixture: kept + dropped partition the corpus; drops justified") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = SimilarityOps.hyperplanes(64, 4)
+    val d = SimilarityOps
+      .semanticDedupDecisions(emb, "vec_id", "embedding", planes, minSim = 0.25)
+    assert(d.count() == emb.count())
+    // every dropped row must carry a justifying similarity >= threshold
+    assert(d.filter(!col("kept") &&
+      (col("max_sim_smaller").isNull || col("max_sim_smaller") < 0.25)).isEmpty)
+    // every kept row carries none
+    assert(d.filter(col("kept") && col("n_dups_smaller") =!= 0L).isEmpty)
+  }
+}
