@@ -125,6 +125,43 @@ class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("substring spans: property vs in-memory reference on random low-vocab docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def refSpans(docs: Seq[(Long, Vector[String])], k: Int): Set[(Long, Long, Long, Long, Long)] = {
+      val wins = for {
+        (id, t) <- docs if t.length >= k
+        p <- 1 to (t.length - k + 1)
+      } yield (id, p.toLong, t.slice(p - 1, p - 1 + k).mkString(" "))
+      val rem = wins.groupBy(_._3).values
+        .flatMap(occ => occ.toSeq.sortBy(o => (o._1, o._2)).drop(1).map(o => (o._1, o._2)))
+        .toSeq
+      rem.groupBy(_._1).flatMap { case (id, ps0) =>
+        val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        ps0.map(_._2).sorted.foreach { p =>
+          if (islands.nonEmpty && p <= islands.last._2 + 1) {
+            val (s0, e0, n0) = islands.last
+            islands(islands.size - 1) = (s0, math.max(e0, p + k - 1), n0 + 1)
+          } else islands += ((p, p + k - 1, 1L))
+        }
+        islands.map { case (s0, e0, n0) => (id, s0, e0, e0 - s0 + 1, n0) }
+      }.toSet
+    }
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 4) {
+      val docs = (1L to 12L).map { id =>
+        id -> Vector.fill(rng.nextInt(26))(vocab(rng.nextInt(vocab.size)))
+      }
+      val df = docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = DedupOps.exactSubstringSpans(df, "doc_id", "text", k = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"),
+          r.getAs[Long]("n_windows"))).toSet
+      assert(got == refSpans(docs, 3), s"trial $trial diverged from the reference")
+    }
+  }
+
   test("semantic dedup on fixture: kept + dropped partition the corpus; drops justified") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val planes = SimilarityOps.hyperplanes(64, 4)
