@@ -29,6 +29,35 @@ object FtsOps {
   def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), size(DedupOps.tokens(col(textCol))).cast("long").as("dl"))
 
+  /** Impact-ordered index statistics: per term, document frequency,
+    * collection frequency, the max term frequency, and the ids of the
+    * `topK` highest-impact postings (tf DESC, id ASC — the block-max /
+    * WAND layout a search index stores so scoring can skip low-impact
+    * blocks). Terms with df < `minDf` are dropped (singleton terms
+    * carry no ranking signal and dominate the vocabulary).
+    *
+    * One shuffle: the per-term window and the per-term aggregation
+    * share the `term` partitioning. Top-k is collected via rank-tagged
+    * structs under the k-bound, never the full posting list. */
+  def postingStats(postings: DataFrame, idCol: String, topK: Int, minDf: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("tf").desc, col(idCol).asc)
+    postings
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        max(col("tf")).as("max_tf"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rk") <= topK,
+              struct(col("__rk").as("r"), col(idCol).cast("string").as("d"))))),
+            x => x.getField("d")),
+          ",").as("top_docs"))
+      .filter(col("df") >= minDf)
+  }
+
   /** Okapi BM25 over the posting-list index for a bag of query terms.
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5));
     * contribution = idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)).

@@ -70,6 +70,42 @@ object FtsQueries {
         FROM agg
       """
       }
+    ),
+    // Impact-ordered index statistics: per-term df/cf/max_tf plus the
+    // top-3 highest-impact posting ids (tf DESC, id ASC) — the
+    // block-max/WAND layout the stored index keeps so scoring skips
+    // low-impact blocks. One term-keyed shuffle (window + agg share
+    // the partitioning); singleton terms dropped.
+    QueryDef(
+      "q_fts_posting_stats",
+      (s, dir) => {
+        val d = T(s, dir).documents
+        FtsOps.postingStats(
+          FtsOps.postingsIndex(d, "doc_id", "text"), "doc_id", topK = 3, minDf = 2L)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+          FROM documents
+        ),
+        postings AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+          GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT term, doc_id, tf,
+            ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rk
+          FROM postings
+        )
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(tf) AS BIGINT) AS cf,
+          CAST(MAX(tf) AS BIGINT) AS max_tf,
+          STRING_AGG(CASE WHEN rk <= 3 THEN CAST(doc_id AS VARCHAR) END, ','
+            ORDER BY rk) AS top_docs
+        FROM rk GROUP BY term HAVING COUNT(*) >= 2
+      """)
     )
   )
 }

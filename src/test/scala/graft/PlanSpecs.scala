@@ -329,6 +329,16 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "a total-order row_number would serialize the corpus through one task")
   }
 
+  test("posting stats is two exchanges: (term,doc) tf agg, then term window+agg") {
+    val plan = executedPlan("q_fts_posting_stats")
+    // (term, doc) keeps the tf aggregation skew-safe (a hot term like
+    // "the" spreads over doc hashes); only the k-bounded window pays
+    // the term-keyed shuffle, and the stats agg reuses its partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      "tf agg on (term,doc) + ONE term-keyed exchange shared by the " +
+        "top-k window and the stats agg")
+  }
+
   test("semantic dedup is cell-local pairs + id-keyed verdict join, never BNLJ") {
     val plan = executedPlan("q_semantic_dedup")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -102,6 +102,26 @@ class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("posting stats: impact order, tie-breaks, df floor, k-bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y z"),   // x tf=3
+      (2L, "x y y"),       // x tf=1, y tf=2
+      (3L, "x x q"),       // x tf=2
+      (4L, "x w")          // x tf=1 (ties with doc 2 -> id order)
+    ).toDF("doc_id", "text")
+    val stats = graft.operators.FtsOps
+      .postingStats(graft.operators.FtsOps.postingsIndex(docs, "doc_id", "text"),
+        "doc_id", topK = 3, minDf = 2L)
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    val x = stats("x")
+    assert(x.getAs[Long]("df") == 4 && x.getAs[Long]("cf") == 7 && x.getAs[Long]("max_tf") == 3)
+    assert(x.getAs[String]("top_docs") == "1,3,2") // tf 3,2,1(tie->min id); k=3 bounds out doc 4
+    val y = stats("y")
+    assert(y.getAs[String]("top_docs") == "2,1")
+    assert(!stats.contains("z") && !stats.contains("q") && !stats.contains("w")) // df floor
+  }
+
   test("semantic dedup: duplicate vector dropped, orthogonal kept, cells keep a representative") {
     import spark.implicits._
     val planes = SimilarityOps.hyperplanes(4, 2)
