@@ -63,6 +63,22 @@ object BpeQueries {
           .withColumn("chars_per_token", round(col("n_alnum_chars") / col("n_tokens"), 4))
       },
       TextMlGolden.bpeTokenStats
+    ),
+    // End-to-end tokenize -> pack: the packing manifest computed from
+    // the REAL subword counts of the trained tokenizer (the estBpe
+    // heuristic of q_sequence_packing replaced by the actual encoder)
+    // — per-source shards, 512-token training sequences, exact chunk
+    // bookkeeping. Golden oracle; tools/check_bpe.py retrains the
+    // tokenizer from scratch AND replays the packing arithmetic.
+    QueryDef(
+      "q_bpe_packed_sequences",
+      (s, dir) => {
+        val merges = trained(s, dir)
+        graft.operators.CurationOps.sequencePackingManifest(
+          BpeOps.tokenize(T(s, dir).documents, "text", merges),
+          "doc_id", "source", col("n_tokens"), seqLen = 512)
+      },
+      TextMlGolden.bpePackedSequences
     )
   )
 }

@@ -30,6 +30,7 @@ object TextMlGolden {
   def annPqTopk: Option[String]     = TextMlGoldenData.annPqTopk
   def bpeMerges: Option[String]     = TextMlGoldenData.bpeMerges
   def bpeTokenStats: Option[String] = TextMlGoldenData.bpeTokenStats
+  def bpePackedSequences: Option[String] = TextMlGoldenData.bpePackedSequences
   def domainClassifierEval: Option[String]    = TextMlGoldenData.domainClassifierEval
   def domainClassifierWeights: Option[String] = TextMlGoldenData.domainClassifierWeights
 }

@@ -156,6 +156,56 @@ def main():
             print(f"PASS q_bpe_token_stats ({len(mine_s)} sources, exact counts)")
         ok = ok and bad == 0
 
+    # q_bpe_packed_sequences: replay tokenize -> pack from scratch
+    # (per-source shards ordered by doc_id, 512-token sequences).
+    try:
+        spark_p = load("q_bpe_packed_sequences")
+    except Exception:
+        spark_p = None
+    if spark_p is not None:
+        SEQ = 512
+        prow = []
+        for src, grp in docs.groupby("source"):
+            end = 0
+            for _, drow in grp.sort_values("doc_id").iterrows():
+                tok = sum(
+                    len(encode(w, ranks, pair_of)) for w in words_of(drow["text"])
+                )
+                if tok <= 0:
+                    continue
+                start = end
+                end += tok
+                prow.append(
+                    {
+                        "shard": src,
+                        "doc_id": int(drow["doc_id"]),
+                        "n_tokens": tok,
+                        "chunk_offset": start % SEQ,
+                        "first_chunk": start // SEQ,
+                        "last_chunk": (end - 1) // SEQ,
+                        "chunks_spanned": (end - 1) // SEQ - start // SEQ + 1,
+                    }
+                )
+        mine_p = pd.DataFrame(prow).sort_values(["shard", "doc_id"]).reset_index(drop=True)
+        spark_p = spark_p.sort_values(["shard", "doc_id"]).reset_index(drop=True)
+        if len(spark_p) != len(mine_p):
+            print(f"FAIL q_bpe_packed_sequences rowcount spark={len(spark_p)} mine={len(mine_p)}")
+            ok = False
+        else:
+            bad = 0
+            for c in mine_p.columns:
+                m = mine_p[c].astype(str) != spark_p[c].astype(str)
+                if m.any():
+                    i = m.idxmax()
+                    print(
+                        f"FAIL q_bpe_packed_sequences col={c} row={i} "
+                        f"mine={mine_p[c][i]!r} spark={spark_p[c][i]!r}"
+                    )
+                    bad += 1
+            if bad == 0:
+                print(f"PASS q_bpe_packed_sequences ({len(mine_p)} docs, exact packing)")
+            ok = ok and bad == 0
+
     sys.exit(0 if ok else 1)
 
 
