@@ -120,6 +120,52 @@ object GraphOps {
   /** Customer–supplier trade graph from the TPC-H-ish fixtures:
     * symmetric edges `c:<custkey> <-> s:<suppkey>` for every distinct
     * (customer, supplier) pair that shares an order. */
+  /** Exact triangle counting by degree-ordered orientation (the
+    * Schank/Wagner forward algorithm, the standard distributed form —
+    * Suri & Vassilvitskii 2011): orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges
+    * u→y, u→z with (deg,id)(y) < (deg,id)(z), and close each wedge
+    * against the oriented edge set. Orientation bounds a node's
+    * out-degree by O(√m) on any graph (and by arboricity generally),
+    * so wedge volume — the only super-linear intermediate — is
+    * O(m^1.5) worst-case instead of Σ deg² ; every join is an equi
+    * join on node keys, no broadcast of anything node-sized assumed.
+    *
+    * Returns one row per triangle-participating node:
+    * (node, triangles, degree). Deterministic: counts are exact
+    * integers; the (degree, id) order is total.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // persisted: the oriented edge list feeds the wedge self-join
+    // twice plus the closure probe; all three consume every column,
+    // so the materialization loses nothing to pruning. Cache
+    // ownership per the QueryDef contract (callers clearCache).
+    val ori = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
+    val wed = ori.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+      .join(ori.select(col("u"), col("v").as("z"), col("dv").as("dz")), Seq("u"))
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+    wed
+      .join(ori.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+      .select(explode(array(col("u"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .join(deg.select(col("n").as("node"), col("d").as("degree")), Seq("node"))
+  }
+
   def tradeGraphEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val pairs = orders
       .select(col("o_orderkey"), col("o_custkey"))

@@ -329,6 +329,12 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "a total-order row_number would serialize the corpus through one task")
   }
 
+  test("triangle counting is equi joins only; wedge join keyed on the pivot node") {
+    val plan = executedPlan("q_triangle_copurchase")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "wedge enumeration and closure must both be node-keyed equi joins")
+  }
+
   test("posting stats is two exchanges: (term,doc) tf agg, then term window+agg") {
     val plan = executedPlan("q_fts_posting_stats")
     // (term, doc) keeps the tf aggregation skew-safe (a hot term like

@@ -102,6 +102,42 @@ class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("triangle counts: K4 + pendant path, duplicate/reversed edges ignored") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, every node in 3 of them; the
+    // pendant path 4-5-6 adds degree but no triangles. Edge list has
+    // duplicates and reversed orientations to prove canonicalization.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 3L), (4L, 5L), (5L, 6L)
+    ).toDF("pa", "pb")
+    val got = graft.operators.GraphOps.triangleCounts(edges, "pa", "pb")
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("triangles"), r.getAs[Long]("degree"))).toMap
+    assert(got == Map(
+      1L -> (3L, 3L), 2L -> (3L, 3L), 3L -> (3L, 3L), 4L -> (3L, 4L)))
+  }
+
+  test("triangle counts: property vs brute force on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n if rng.nextDouble() < 0.4
+      } yield (a, b)).toVector
+      val adj = edges.toSet
+      val ref = (for {
+        a <- 1L to n; b <- (a + 1) to n; c <- (b + 1) to n
+        if adj((a, b)) && adj((b, c)) && adj((a, c))
+      } yield Seq(a, b, c)).flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.operators.GraphOps
+        .triangleCounts(edges.toDF("pa", "pb"), "pa", "pb")
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangles")).toMap
+      assert(got == ref, s"trial $trial diverged from brute force")
+    }
+  }
+
   test("posting stats: impact order, tie-breaks, df floor, k-bound") {
     import spark.implicits._
     val docs = Seq(
