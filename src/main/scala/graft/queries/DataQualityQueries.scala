@@ -444,6 +444,107 @@ object DataQualityQueries {
         }
         branches.mkString(" UNION ALL ")
       }
-    )
+    ),
+    // Benford first-digit forensics (Nigrini's fraud/data-entry test,
+    // the classic financial-DQ screen): per ship-year distribution of
+    // the leading significant digit of extended prices vs the Benford
+    // expectation log10(1+1/d), with a per-year chi-square flag
+    // (threshold 15.507 = X²₀.₀₅, 8 df). Digits come from exact cents
+    // (never float log10 — power-of-ten boundaries round engine-
+    // dependently); the Benford constants are inlined as the SAME
+    // Scala doubles on both engines; chi-square terms are single IEEE
+    // ops summed through the DECIMAL(18,6) snap. One groupBy + one
+    // year-keyed window.
+    {
+      val benford = (1 to 9).map(d => d.toString -> math.log10(1 + 1.0 / d))
+      QueryDef(
+        "q_dq_benford_digits",
+        (s, dir) => {
+          import QueryDef.rsnap
+          val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+          val p = benford.tail.foldLeft(
+            when(col("d") === benford.head._1, lit(benford.head._2))) {
+            case (acc, (dig, prob)) => acc.when(col("d") === dig, lit(prob))
+          }
+          val wy   = Window.partitionBy(col("yr"))
+          val term = {
+            val x = col("obs").cast("double") - col("n").cast("double") * col("p")
+            (x * x) / (col("n").cast("double") * col("p"))
+          }
+          val chi2 = rsnap(
+            sum(term.cast(DecimalType(18, 6))).over(wy).cast("double"), 4)
+          val counts = T(s, dir).lineitem
+            .filter(col("l_extendedprice") > 0)
+            .select(
+              year(to_date(col("l_shipdate"))).cast("long").as("yr"),
+              substring(cents.cast("string"), 1, 1).as("d"))
+            .groupBy(col("yr"), col("d"))
+            .agg(count(lit(1)).as("obs"))
+          // full digit spine: a year where some digit NEVER occurs must
+          // contribute its (0 − n·p)²/(n·p) = n·p term — that absence
+          // is precisely the anomaly a Benford screen exists to catch
+          counts
+            .select(col("yr")).distinct()
+            .crossJoin(broadcast(
+              s.createDataFrame(s.sparkContext.parallelize(
+                  (1 to 9).map(d => org.apache.spark.sql.Row(d.toString))),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("d",
+                    org.apache.spark.sql.types.StringType, nullable = false))))))
+            .join(counts, Seq("yr", "d"), "left")
+            .withColumn("obs", coalesce(col("obs"), lit(0L)))
+            .withColumn("n", sum(col("obs")).over(wy))
+            .withColumn("p", p)
+            .withColumn("chi2_year", chi2)
+            .select(
+              col("yr").as("ship_year"),
+              col("d").as("leading_digit"),
+              col("obs").as("observed"),
+              round(col("p"), 4).as("expected_share"),
+              col("chi2_year"),
+              (col("chi2_year") < 15.507).as("benford_ok"))
+        },
+        Some {
+          val caseSql = benford
+            .map { case (d, prob) => s"WHEN '$d' THEN CAST($prob AS DOUBLE)" }
+            .mkString("CASE d ", " ", " END")
+          val termSql = "((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p) " +
+            "* (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)) / (CAST(n AS DOUBLE) * p)"
+          val chi2Sql = QueryDef.oSnap(
+            s"CAST(SUM(CAST($termSql AS DECIMAL(18,6))) OVER (PARTITION BY yr) AS DOUBLE)", 4)
+          s"""
+          WITH cents AS (
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+              substring(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS d
+            FROM lineitem WHERE l_extendedprice > 0
+          ),
+          counts AS (SELECT yr, d, COUNT(*) AS obs FROM cents GROUP BY 1, 2),
+          spine AS (
+            SELECT yr, dd.d FROM (SELECT DISTINCT yr FROM counts)
+            CROSS JOIN (VALUES ('1'),('2'),('3'),('4'),('5'),('6'),('7'),('8'),('9')) AS dd(d)
+          ),
+          filled AS (
+            SELECT s.yr, s.d, COALESCE(c.obs, 0) AS obs
+            FROM spine s LEFT JOIN counts c ON s.yr = c.yr AND s.d = c.d
+          ),
+          win AS (
+            SELECT yr, d, obs,
+              SUM(obs) OVER (PARTITION BY yr) AS n,
+              $caseSql AS p
+            FROM filled
+          ),
+          scored AS (
+            SELECT yr, d, obs, p, $chi2Sql AS chi2_year FROM win
+          )
+          SELECT yr AS ship_year, d AS leading_digit,
+            CAST(obs AS BIGINT) AS observed,
+            ROUND(p, 4) + 0.0 AS expected_share,
+            chi2_year,
+            chi2_year < 15.507 AS benford_ok
+          FROM scored
+        """
+        }
+      )
+    }
   )
 }

@@ -102,6 +102,30 @@ class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("benford digits: complete digit grid, counts conserved, chi2 replayed") {
+    val rows = graft.queries.Registry.byName("q_dq_benford_digits")
+      .query(spark, "/root/testdata/sf0.001").collect()
+    val byYear = rows.groupBy(_.getAs[Long]("ship_year"))
+    val nLineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("observed")).sum == nLineitem)
+    byYear.values.foreach { yr =>
+      val digits = yr.map(_.getAs[String]("leading_digit")).toSet
+      assert(digits == (1 to 9).map(_.toString).toSet,
+        "digit spine must be complete even for never-observed digits")
+      // independent chi-square replay from the observed counts
+      val n = yr.map(_.getAs[Long]("observed")).sum.toDouble
+      val chi2 = yr.map { r =>
+        val p   = math.log10(1 + 1.0 / r.getAs[String]("leading_digit").toInt)
+        val obs = r.getAs[Long]("observed").toDouble
+        val x   = obs - n * p
+        x * x / (n * p)
+      }.sum
+      val reported = yr.head.getAs[Double]("chi2_year")
+      assert(math.abs(chi2 - reported) < 5e-4, s"chi2 $chi2 vs $reported")
+      assert(yr.forall(_.getAs[Boolean]("benford_ok") == (reported < 15.507)))
+    }
+  }
+
   test("triangle counts: K4 + pendant path, duplicate/reversed edges ignored") {
     import spark.implicits._
     // K4 on {1,2,3,4}: 4 triangles, every node in 3 of them; the
