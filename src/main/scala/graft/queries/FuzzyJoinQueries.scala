@@ -90,6 +90,95 @@ object FuzzyJoinQueries {
           CAST(SUM(CASE WHEN best_dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
         FROM resolved GROUP BY 1
       """)
+    ),
+    // End-to-end entity resolution: three record feeds per entity (a
+    // master plus two independently corrupted copies), SymSpell
+    // blocking + exact levenshtein verify for match pairs, connected
+    // components for TRANSITIVE closure (feed1 ~ master ~ feed2 chains
+    // at pairwise distance 2 — only the closure links them), and a
+    // min-id survivorship record per entity. Names are md5-derived
+    // (the repo's deterministic-fixture idiom): distinct across
+    // entities, so clusters are real match groups, not vocabulary
+    // collisions. Scale: variant equi-join + O(log n) pointer jumping
+    // — nothing quadratic, nothing driver-side.
+    QueryDef(
+      "q_entity_resolution",
+      (s, dir) => {
+        val base = Tables(s, dir).customer
+          .select(col("c_custkey").as("k"))
+          .withColumn("nm", md5(col("k").cast("string")))
+        def feed(prefix: String, posSql: String, sys: String) =
+          base.select(
+            concat(lit(prefix), col("k")).as("rid"),
+            expr(s"concat(substring(nm, 1, CAST($posSql AS INT)), " +
+              s"substring(nm, CAST($posSql AS INT) + 2, 32))").as("name"),
+            lit(sys).as("src_sys"))
+        val master = base.select(concat(lit("c"), col("k")).as("rid"),
+          col("nm").as("name"), lit("master").as("src_sys"))
+        val records = master
+          .unionByName(feed("d1x", "k % 32", "feed1"))
+          .unionByName(feed("d2x", "(k * 7 + 5) % 32", "feed2"))
+        val pairs = FuzzyJoinOps.symspellJoin(
+            records.select(col("rid").as("rid_a"), col("name").as("name_a")),
+            "rid_a", "name_a",
+            records.select(col("rid").as("rid_b"), col("name").as("name_b")),
+            "rid_b", "name_b", maxDist = 1)
+          .filter(col("rid_a") < col("rid_b"))
+          .select(col("rid_a"), col("rid_b"))
+        val labels = graft.operators.DedupOps
+          .connectedComponents(pairs, "rid_a", "rid_b")
+        records
+          .join(labels.select(col("node").as("rid"), col("lbl")), Seq("rid"), "left")
+          .withColumn("entity_id", coalesce(col("lbl"), col("rid")))
+          .groupBy(col("entity_id"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            countDistinct(col("src_sys")).as("n_feeds"),
+            max(when(col("rid") === col("entity_id"), col("name"))).as("canonical_name"))
+      },
+      Some("""
+        WITH RECURSIVE base AS (
+          SELECT c_custkey AS k, md5(CAST(c_custkey AS VARCHAR)) AS nm FROM customer
+        ),
+        records AS (
+          SELECT 'c' || CAST(k AS VARCHAR) AS rid, nm AS name, 'master' AS src_sys FROM base
+          UNION ALL
+          SELECT 'd1x' || CAST(k AS VARCHAR),
+            substr(nm, 1, CAST(k % 32 AS INT)) || substr(nm, CAST(k % 32 AS INT) + 2),
+            'feed1' FROM base
+          UNION ALL
+          SELECT 'd2x' || CAST(k AS VARCHAR),
+            substr(nm, 1, CAST((k * 7 + 5) % 32 AS INT)) || substr(nm, CAST((k * 7 + 5) % 32 AS INT) + 2),
+            'feed2' FROM base
+        ),
+        v AS (
+          SELECT rid, name, name AS variant FROM records
+          UNION ALL
+          SELECT rid, name,
+            substr(name, 1, CAST(i AS INT)) || substr(name, CAST(i AS INT) + 2)
+          FROM records, RANGE(0, 40) t(i) WHERE i < length(name)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.rid AS src, b.rid AS dst
+          FROM v a JOIN v b ON a.variant = b.variant AND a.rid <> b.rid
+          WHERE levenshtein(a.name, b.name) <= 1
+        ),
+        reach(node, lbl) AS (
+          SELECT DISTINCT src, src FROM pairs
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN pairs e ON e.src = r.node
+        ),
+        members AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        mapped AS (
+          SELECT r.rid, r.name, r.src_sys, COALESCE(m.cluster_id, r.rid) AS entity_id
+          FROM records r LEFT JOIN members m ON r.rid = m.node
+        )
+        SELECT entity_id,
+          CAST(COUNT(*) AS BIGINT) AS n_records,
+          CAST(COUNT(DISTINCT src_sys) AS BIGINT) AS n_feeds,
+          MAX(CASE WHEN rid = entity_id THEN name END) AS canonical_name
+        FROM mapped GROUP BY 1
+      """)
     )
   )
 }

@@ -102,6 +102,24 @@ class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("entity resolution: every entity resolves to exactly its three feeds, master survives") {
+    val rows = graft.queries.Registry.byName("q_entity_resolution")
+      .query(spark, "/root/testdata/sf0.001").collect()
+    val nCust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(rows.length == nCust, "one resolved entity per true entity")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_records") == 3L, "master + feed1 + feed2")
+      assert(r.getAs[Long]("n_feeds") == 3L)
+      val id = r.getAs[String]("entity_id")
+      assert(id.startsWith("c"), "min-id survivorship keeps the master")
+      // canonical name is the uncorrupted md5 of the entity key
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.drop(1).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("canonical_name") == expected)
+    }
+  }
+
   test("benford digits: complete digit grid, counts conserved, chi2 replayed") {
     val rows = graft.queries.Registry.byName("q_dq_benford_digits")
       .query(spark, "/root/testdata/sf0.001").collect()
