@@ -102,6 +102,35 @@ class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("event funnel: monotone steps, ratio math replayed") {
+    val rows = graft.queries.Registry.byName("q_event_funnel")
+      .query(spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("view", "click_24h", "purchase_24h"))
+    val n = rows.map(_.getAs[Long]("n_users"))
+    assert(n(0) >= n(1) && n(1) >= n(2), "funnel populations must shrink")
+    val top = rows(2).getAs[Double]("conv_from_top")
+    assert(math.abs(top - n(2).toDouble / n(0)) < 1e-4)
+    assert(rows(0).getAs[Double]("conv_from_top") == 1.0)
+  }
+
+  test("retention cohorts: day-0 retention is exactly 1, offsets within range") {
+    val rows = graft.queries.Registry.byName("q_retention_cohorts")
+      .query(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("day_offset")
+      assert(off >= 0 && off <= 7)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+      if (off == 0) {
+        // the signup that defines the cohort IS day-0 activity
+        assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+        assert(r.getAs[Double]("retention_pct") == 1.0)
+      }
+    }
+  }
+
   test("entity resolution: every entity resolves to exactly its three feeds, master survives") {
     val rows = graft.queries.Registry.byName("q_entity_resolution")
       .query(spark, "/root/testdata/sf0.001").collect()
