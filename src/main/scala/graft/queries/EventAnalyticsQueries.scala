@@ -157,6 +157,63 @@ object EventAnalyticsQueries {
         FROM act a JOIN sz s ON a.c0 = s.c0
       """
       }
+    ),
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next | prev) with exact transition counts and
+    // row-normalized probabilities. One user-keyed window (LAG) + one
+    // (prev, next) aggregation; the per-prev totals ride a window over
+    // the #types² result, not the event stream. Ties in simultaneous
+    // events broken by event_id — a total order, so the chain is
+    // partition-invariant.
+    QueryDef(
+      "q_event_transition_matrix",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val counts = T(s, dir).events
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
+        counts
+          .withColumn("row_total", sum(col("n_transitions")).over(wp))
+          .select(col("prev_type"), col("next_type"), col("n_transitions"),
+            col("row_total"),
+            QueryDef.rdiv(
+              col("n_transitions").cast(org.apache.spark.sql.types.DecimalType(38, 6)),
+              col("row_total"), 4).as("p_next"))
+      },
+      Some {
+        val p = QueryDef.oDivRound(
+          "CAST(n_transitions AS HUGEINT) * 1000000", "row_total", 4)
+        s"""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type FROM events
+        ),
+        seq AS (
+          SELECT event_type AS next_type,
+            LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+          FROM e
+        ),
+        counts AS (
+          SELECT prev_type, next_type, COUNT(*) AS n_transitions
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT prev_type, next_type, n_transitions,
+            SUM(n_transitions) OVER (PARTITION BY prev_type) AS row_total
+          FROM counts
+        )
+        SELECT prev_type, next_type,
+          CAST(n_transitions AS BIGINT) AS n_transitions,
+          CAST(row_total AS BIGINT) AS row_total,
+          $p AS p_next
+        FROM tot
+      """
+      }
     )
   )
 }

@@ -102,6 +102,21 @@ class Round7Specs2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("transition matrix: rows normalize to 1, counts conserve total transitions") {
+    val rows = graft.queries.Registry.byName("q_event_transition_matrix")
+      .query(spark, "/root/testdata/sf0.001").collect()
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val nUsers = events.select("user_id").distinct().count()
+    // every user's sequence yields (len - 1) transitions
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == events.count() - nUsers)
+    rows.groupBy(_.getAs[String]("prev_type")).values.foreach { grp =>
+      val tot = grp.head.getAs[Long]("row_total")
+      assert(grp.map(_.getAs[Long]("n_transitions")).sum == tot)
+      val psum = grp.map(_.getAs[Double]("p_next")).sum
+      assert(math.abs(psum - 1.0) < 5e-4 * grp.size, s"row sums to $psum")
+    }
+  }
+
   test("event funnel: monotone steps, ratio math replayed") {
     val rows = graft.queries.Registry.byName("q_event_funnel")
       .query(spark, "/root/testdata/sf0.001").collect()
