@@ -170,6 +170,33 @@ object OlapQueries {
         GROUP BY ROLLUP(r.r_name, n.n_name)
       """)
     ),
+    // Native CUBE grouping sets (completes the rollup/cube/grouping-
+    // sets family): all four aggregation levels of (returnflag,
+    // linestatus) in ONE pass — Spark expands the cube map-side, so
+    // the shuffle carries each level's partial aggregates, never 4x
+    // the fact rows. grouping_id disambiguates rolled-up NULLs.
+    QueryDef(
+      "q_cube_flag_status",
+      (s, dir) =>
+        T(s, dir).lineitem
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+            col("n_rows"), col("sum_qty"), col("sum_price")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+      """)
+    ),
     // Wide -> long reshape via the NATIVE DataFrame.unpivot (Catalyst
     // Expand — the melt half of the pivot/unpivot pair; pivot's
     // MAX(CASE) form is covered by q_conditional_pivot_status). The
