@@ -197,6 +197,51 @@ object OlapQueries {
         GROUP BY CUBE(l_returnflag, l_linestatus)
       """)
     ),
+    // Explicit GROUPING SETS (the third member of the rollup/cube
+    // family): a mixed set skipping the nation-only level — via
+    // spark.sql, the idiomatic route (the DataFrame API exposes only
+    // rollup/cube). Per-column grouping() flags instead of the packed
+    // id keep the oracle engine-neutral.
+    QueryDef(
+      "q_grouping_sets_mixed",
+      (s, dir) => {
+        val t = T(s, dir)
+        t.orders
+          .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("n_name"), col("o_totalprice"))
+          .createOrReplaceTempView("gs_base")
+        s.sql("""
+          SELECT r_name AS region_name, n_name AS nation_name,
+            CAST(grouping(r_name) AS BIGINT) AS g_region,
+            CAST(grouping(n_name) AS BIGINT) AS g_nation,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          FROM gs_base
+          GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """)
+      },
+      Some("""
+        WITH gs_base AS (
+          SELECT r.r_name, n.n_name, o.o_totalprice
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT r_name AS region_name, n_name AS nation_name,
+          CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+          CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM gs_base
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+      """)
+    ),
     // Wide -> long reshape via the NATIVE DataFrame.unpivot (Catalyst
     // Expand — the melt half of the pivot/unpivot pair; pivot's
     // MAX(CASE) form is covered by q_conditional_pivot_status). The
