@@ -449,7 +449,18 @@ object DedupOps {
       aCol: String,
       bCol: String,
       maxIter: Int = 20
-  ): DataFrame = {
+  ): DataFrame = connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation
+    * rounds it took to converge — the scale dossier's measured
+    * evidence that pointer jumping keeps round count logarithmic
+    * (VERDICT r7 #9: log the CC rounds, don't just claim O(log n)). */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20
+  ): (DataFrame, Int) = {
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -481,7 +492,7 @@ object DedupOps {
       rounds += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
-    labels
+    (labels, rounds)
   }
 
   /** Exact duplicate-substring spans (the suffix-array dedup of Lee et

@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   * trick (SymSpell) is exact for edit distance 1 — a deletion on
   * either side, an insertion, or a substitution always produces at
   * least one colliding variant — with only O(len) index rows per
-  * record and a single hash shuffle on the variant string. Candidate
-  * fan-out is bounded by neighborhood collisions, not corpus size;
-  * the verify is a cheap per-pair expression both engines implement
-  * identically (`levenshtein`), so the whole operator is
-  * oracle-checkable end to end.
+  * record and a single hash shuffle. Candidate fan-out is bounded by
+  * neighborhood collisions, not corpus size; the verify is a cheap
+  * per-pair expression both engines implement identically
+  * (`levenshtein`), so the whole operator is oracle-checkable end to
+  * end.
+  *
+  * The join key is a 64-bit xxhash64 FINGERPRINT of the variant, not
+  * the variant string (VERDICT r7 #9): on long names the variant
+  * column dominates the shuffle width, and the fingerprint carries
+  * the same equality signal in 8 bytes. Exactness is unaffected in
+  * both directions — a hash collision can only ADD a candidate pair,
+  * which the levenshtein verify prunes; and any true dist<=1 pair
+  * already shares a real variant (the depth-1 guarantee), so no pair
+  * the string join would find is lost. The verified output is
+  * bit-identical to the string-keyed join.
   */
 object FuzzyJoinOps {
 
@@ -52,8 +62,10 @@ object FuzzyJoinOps {
       maxDist: Int = 1): DataFrame = {
     require(maxDist == 1, "depth-1 deletion neighborhood is exact only for levenshtein <= 1")
     val lv = withVariants(left.select(col(leftKey), col(leftStr)), leftStr)
+      .select(col(leftKey), col(leftStr), xxhash64(col("variant")).as("__vfp"))
     val rv = withVariants(right.select(col(rightKey), col(rightStr)), rightStr)
-    lv.join(rv, "variant")
+      .select(col(rightKey), col(rightStr), xxhash64(col("variant")).as("__vfp"))
+    lv.join(rv, "__vfp")
       .select(col(leftKey), col(leftStr), col(rightKey), col(rightStr))
       .distinct()
       .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))

@@ -117,9 +117,6 @@ object GraphOps {
       case _ => () // not a checkpoint scan; nothing to release
     }
 
-  /** Customer–supplier trade graph from the TPC-H-ish fixtures:
-    * symmetric edges `c:<custkey> <-> s:<suppkey>` for every distinct
-    * (customer, supplier) pair that shares an order. */
   /** Exact triangle counting by degree-ordered orientation (the
     * Schank/Wagner forward algorithm, the standard distributed form —
     * Suri & Vassilvitskii 2011): orient every undirected edge from its
@@ -166,6 +163,9 @@ object GraphOps {
       .join(deg.select(col("n").as("node"), col("d").as("degree")), Seq("node"))
   }
 
+  /** Customer–supplier trade graph from the TPC-H-ish fixtures:
+    * symmetric edges `c:<custkey> <-> s:<suppkey>` for every distinct
+    * (customer, supplier) pair that shares an order. */
   def tradeGraphEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val pairs = orders
       .select(col("o_orderkey"), col("o_custkey"))

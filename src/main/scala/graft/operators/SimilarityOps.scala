@@ -170,9 +170,12 @@ object SimilarityOps {
     * data-independent analogue of the paper's k-means partition, which
     * keeps the whole decision expressible to an external SQL oracle —
     * and the keep rule is greedy-by-id: a vector is dropped iff some
-    * SMALLER id in its cell is cosine-≥-τ similar. Greedy-by-smallest
-    * retains exactly one representative per duplicate chain and is a
-    * total order, so decisions are partition-invariant.
+    * SMALLER id in its cell is cosine-≥-τ similar. The rule keeps
+    * every vector with no cosine-similar smaller id in its cell — at
+    * least one survivor per similarity component (a star component
+    * 1–3, 2–3 keeps both 1 and 2), unlike SemDeDup's kept-set greedy
+    * which would also prune within the kept set. The id order is
+    * total, so decisions are partition-invariant.
     *
     * Returns one row per vector: its cell, the keep/drop verdict, how
     * many smaller near-dups it had, and the max similarity to one.

@@ -36,15 +36,18 @@ object SketchOps {
     (when(a <= 57, a - 48).otherwise(a - 87)).cast("long")
   }
 
+  /** Positional fold of 8 hex digits of an md5 hex string starting at
+    * `offset` (0-based) into a 32-bit uniform in [0, 2^32). One md5
+    * yields four independent 32-bit values (offsets 0/8/16/24). */
+  private def hexFold32(hex: Column, offset: Int): Column =
+    (0 until 8)
+      .map(i => hexVal(substring(hex, offset + i + 1, 1)) * lit(1L << (4 * (7 - i))))
+      .reduce(_ + _)
+
   /** 32-bit uniform hash in [0, 2^32): positional fold of the first 8
     * hex digits of md5(value). Engine-portable bit-for-bit — the only
     * primitives are md5, substring, ascii, integer arithmetic. */
-  def hash32(c: Column): Column = {
-    val hex = md5(c.cast("string"))
-    (0 until 8)
-      .map(i => hexVal(substring(hex, i + 1, 1)) * lit(1L << (4 * (7 - i))))
-      .reduce(_ + _)
-  }
+  def hash32(c: Column): Column = hexFold32(md5(c.cast("string")), 0)
 
   /** KMV (k minimum values) distinct-count sketch per group
     * (Bar-Yossef et al. 2002; Beyer et al. 2007 §2): hash each
@@ -120,18 +123,30 @@ object SketchOps {
     * per-partition/per-day sketches roll up without ever re-shuffling
     * raw keys.
     *
-    * Deterministic like every sketch here: row r's hash is
-    * [[hash32]] of "r:key", so counters — and therefore estimates —
-    * are integers identical across runs, partitionings, and engines.
+    * Hashing is Kirsch–Mitzenmacher double hashing ("Less hashing,
+    * same performance", 2006 — preserves the CMS error guarantees):
+    * ONE md5 per input row yields h1 (hex digits 1–8) and h2 (hex
+    * digits 9–16); row r's bucket is (h1 + r·h2') mod w with
+    * h2' = h2 mod (w−1) + 1, so h2' is never ≡ 0 mod w and the d
+    * rows cannot collapse onto one bucket. The d-way explode happens
+    * AFTER the hash, so the per-row cost is one md5 + d integer
+    * multiply-adds instead of d md5s (VERDICT r7 #2: the old scheme
+    * made the sketch cost more than the exact groupBy it avoids).
+    * Deterministic like every sketch here: integer arithmetic on an
+    * engine-portable md5 fold — counters and estimates are identical
+    * across runs, partitionings, and engines.
     *
     * Returns the dense cell table (row, bucket, cnt); absent cells
     * are zero. */
   def cmsSketch(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
     require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2; got d=$d w=$w")
-    df.select(col(keyCol).cast("string").as("__k"),
+    val hex = md5(col(keyCol).cast("string"))
+    df.select(hexFold32(hex, 0).as("__h1"),
+        (hexFold32(hex, 8) % (w - 1) + 1L).as("__h2"))
+      .select(col("__h1"), col("__h2"),
         explode(array((0 until d).map(lit): _*)).as("row"))
       .select(col("row"),
-        (hash32(concat(col("row").cast("string"), lit(":"), col("__k"))) % w).as("bucket"))
+        ((col("__h1") + col("row").cast("long") * col("__h2")) % w).as("bucket"))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -152,14 +167,18 @@ object SketchOps {
       keyCol: String,
       d: Int,
       w: Int): DataFrame = {
+    val hex = md5(col(keyCol).cast("string"))
     val pb = probes
       .select(col(keyCol))
       .distinct()
-      .select(col(keyCol),
+      // same KM scheme as the build side: one md5 per DISTINCT key,
+      // d buckets by integer arithmetic after the explode
+      .select(col(keyCol), hexFold32(hex, 0).as("__h1"),
+        (hexFold32(hex, 8) % (w - 1) + 1L).as("__h2"))
+      .select(col(keyCol), col("__h1"), col("__h2"),
         explode(array((0 until d).map(lit): _*)).as("row"))
       .select(col(keyCol), col("row"),
-        (hash32(concat(col("row").cast("string"), lit(":"), col(keyCol).cast("string"))) % w)
-          .as("bucket"))
+        ((col("__h1") + col("row").cast("long") * col("__h2")) % w).as("bucket"))
     pb.join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(col(keyCol))
       // a key absent from every cell has true count 0; min(coalesce)

@@ -711,16 +711,26 @@ object AnalysisQueries2 {
     */
   private val LeadingEconSnapCutoff = "1998-07-01"
 
-  private def leadingEconSnapshot(s: SparkSession, dir: String): DataFrame = {
+  /** The snapshot's input staging, projected to the consumed columns
+    * — also the Table-tier model the DAG-mode bench materializes
+    * ([[DagBenchModels]]). */
+  private[queries] def baseHistoricalThin(s: SparkSession, dir: String): DataFrame =
+    baseHistorical(s, dir)
+      .select("symbol", "date", "series_name", "category", "value",
+        "pct_change_3mo", "pct_change_6mo", "pct_change_9mo")
+
+  private def leadingEconSnapshot(s: SparkSession, dir: String): DataFrame =
     // referenced twice (spine derivation + moments frame) — persist so
     // the base_historical pipeline runs once. Projected to the consumed
     // columns FIRST: the cache would otherwise force the RANGE-window
     // family (high/low/std_diff_1yr), which this model never reads —
     // ColumnPruning drops those window expressions from the cached plan
-    val bhaDf = baseHistorical(s, dir)
-      .select("symbol", "date", "series_name", "category", "value",
-        "pct_change_3mo", "pct_change_6mo", "pct_change_9mo")
-      .persist()
+    leadingEconSnapshotFrom(baseHistoricalThin(s, dir).persist())
+
+  /** Snapshot consumer over an already-materialized thin staging
+    * (DAG mode hands in a parquet-backed mart; re-scanning it twice
+    * is the production read pattern, so no persist here). */
+  private[queries] def leadingEconSnapshotFrom(bhaDf: DataFrame): DataFrame = {
     val spine = bhaDf
       .filter(col("date") >= to_date(lit(LeadingEconSnapCutoff)))
       .select(trunc(col("date"), "month").as("snapshot_date"))

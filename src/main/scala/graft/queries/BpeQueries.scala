@@ -26,8 +26,15 @@ object BpeQueries {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
+  // Training is deterministic, so memoizing the merge table per sf
+  // dir cannot change results — it stops the three BPE QueryDefs from
+  // each re-running the collect + 60-merge training loop (ADVICE r7).
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[BpeOps.BpeMerge]]()
+
   private def trained(s: SparkSession, dir: String): Seq[BpeOps.BpeMerge] =
-    BpeOps.train(T(s, dir).documents, "text", NumMerges, minCount = 2L)
+    mergeMemo.computeIfAbsent(
+      dir, _ => BpeOps.train(T(s, dir).documents, "text", NumMerges, minCount = 2L))
 
   val defs: Seq[QueryDef] = Seq(
     // The merge table itself: rank order IS the tokenizer.

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.runtime.ModelRegistry
+import graft.runtime.ModelRegistry.{Materialization, ModelDef}
+
+/** The DAG-mode bench lane's model set (VERDICT r7 #1): the shared
+  * mart chain behind the fleet's fan-in consumers, registered as
+  * Table-tier [[ModelRegistry]] models so the bench can build the DAG
+  * ONCE per session and then time the consumers at scan cost — the
+  * read pattern the reference's users actually get (its marts are dbt
+  * `materialized: table`/`incremental` models, ref
+  * dbt_project/dbt_project.yml:30-57; the weekly data-point finder
+  * reads them, never re-derives them).
+  *
+  * Models (all Table tier — durable parquet, downstream scans get
+  * pushdown/pruning, and they survive the bench's per-measurement
+  * `clearCache`, which a View-tier persist would not):
+  *  - `mart_fred_monthly_calc` — the FRED monthly pct-change mart
+  *    (econ input of the data-point finder);
+  *  - `mart_leading_econ_return_indicator` — the correlation/quintile
+  *    mart; `q_agent_leading_econ_return_indicator` is literally
+  *    SELECT * of it, and the finder's correlation_anomaly detector
+  *    filters it;
+  *  - `stg_base_historical_thin` — the projected base-historical
+  *    staging the leading-econ SNAPSHOT derives from;
+  *  - `mart_market_performance` / `mart_commodity_performance` — the
+  *    two performance marts the statistical_outlier detector slices.
+  *
+  * The consumers are the SAME query functions the isolated lane runs
+  * (`DataPointQueries.interestingFrom`,
+  * `AnalysisQueries2.leadingEconSnapshotFrom`), just handed
+  * materialized frames — equivalence of the two modes is spec-gated
+  * at sf0.001 (ModelRegistrySpecs "DAG-mode consumers").
+  */
+object DagBenchModels {
+
+  private def byName(defs: Seq[QueryDef], name: String): QueryDef =
+    defs.find(_.name == name).getOrElse(sys.error(s"missing base query $name"))
+
+  val modelNames: Seq[String] = Seq(
+    "mart_fred_monthly_calc",
+    "mart_leading_econ_return_indicator",
+    "stg_base_historical_thin",
+    "mart_market_performance",
+    "mart_commodity_performance")
+
+  /** The registry: five source-model marts, no inter-model deps (the
+    * chains SHARE consumers, not parents), each a durable Table. */
+  def registry(s: SparkSession, dir: String): ModelRegistry =
+    new ModelRegistry()
+      .register(ModelDef("mart_fred_monthly_calc", Nil, Materialization.Table, _ =>
+        FredQueries.fredMonthlyCalc(s, dir)))
+      .register(ModelDef("mart_leading_econ_return_indicator", Nil, Materialization.Table, _ =>
+        byName(AnalysisQueries2.defs, "q_leading_econ_return_indicator").query(s, dir)))
+      .register(ModelDef("stg_base_historical_thin", Nil, Materialization.Table, _ =>
+        AnalysisQueries2.baseHistoricalThin(s, dir)))
+      .register(ModelDef("mart_market_performance", Nil, Materialization.Table, _ =>
+        byName(AgentQueries.defs, "q_agent_market_performance").query(s, dir)))
+      .register(ModelDef("mart_commodity_performance", Nil, Materialization.Table, _ =>
+        byName(CommodityQueries.defs, "q_agent_commodity_performance").query(s, dir)))
+
+  /** The fan-in consumers, reading ONLY the materialized frames.
+    * Names match the isolated lane's query names so BENCH_FULL's dag
+    * section lines up row-for-row with the isolated numbers. */
+  def consumers(frames: Map[String, DataFrame]): Seq[(String, () => DataFrame)] = Seq(
+    "q_interesting_data_points" -> (() =>
+      DataPointQueries.interestingFrom(
+        frames("mart_fred_monthly_calc"),
+        frames("mart_leading_econ_return_indicator"),
+        frames("mart_market_performance"),
+        frames("mart_commodity_performance"))),
+    "q_agent_leading_econ_return_indicator" -> (() =>
+      frames("mart_leading_econ_return_indicator")),
+    "q_agent_leading_econ_return_indicator_snapshot" -> (() =>
+      AnalysisQueries2.leadingEconSnapshotFrom(frames("stg_base_historical_thin"))),
+    "q_agent_market_performance" -> (() => frames("mart_market_performance")),
+    "q_agent_commodity_performance" -> (() => frames("mart_commodity_performance")))
+}

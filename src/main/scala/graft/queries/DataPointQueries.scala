@@ -50,8 +50,24 @@ object DataPointQueries {
   private val findingCols = Seq("data_point", "metric_category", "current_value",
     "change_period", "change_pct", "z_score", "significance_score", "finding_type")
 
-  private def interestingDataPoints(s: SparkSession, dir: String): DataFrame = {
-    val econ = FredQueries.fredMonthlyCalc(s, dir)
+  private def interestingDataPoints(s: SparkSession, dir: String): DataFrame =
+    interestingFrom(
+      FredQueries.fredMonthlyCalc(s, dir),
+      byName(AnalysisQueries2.defs, "q_leading_econ_return_indicator").query(s, dir),
+      byName(AgentQueries.defs, "q_agent_market_performance").query(s, dir),
+      byName(CommodityQueries.defs, "q_agent_commodity_performance").query(s, dir))
+
+  /** The detector suite over its four INPUT marts, taken as frames —
+    * the isolated QueryDef builds them inline (above); the DAG-mode
+    * bench lane ([[DagBenchModels]]) hands in Table-tier
+    * materializations so this consumer runs at scan cost, which is
+    * how the reference's weekly asset reads them in production. */
+  private[queries] def interestingFrom(
+      fredMonthly: DataFrame,
+      leadingEcon: DataFrame,
+      marketPerf: DataFrame,
+      commodityPerf: DataFrame): DataFrame = {
+    val econ = fredMonthly
       .filter(
         col("month") >= add_months(trunc(to_date(lit(WeekStart)), "month"), -12) &&
           col("month") <= to_date(lit(WeekEnd)) &&
@@ -117,8 +133,7 @@ object DataPointQueries {
         lit("trend_change_inflection").as("finding_type"))
 
     // ---- correlation_anomaly ----------------------------------------
-    val corrIn = byName(AnalysisQueries2.defs, "q_leading_econ_return_indicator")
-      .query(s, dir)
+    val corrIn = leadingEcon
       .filter(col("analysis_type") === "Correlation Analysis" &&
         col("observation_count") >= 12)
     val c1 = coalesce(col("correlation_econ_vs_q1_returns"), lit(0.0))
@@ -175,10 +190,8 @@ object DataPointQueries {
           r4(abs(z)).as("significance_score"),
           lit("statistical_outlier").as("finding_type"))
     }
-    val marketOut = outliers(recentSlice(
-      byName(AgentQueries.defs, "q_agent_market_performance").query(s, dir), "ticker"))
-    val commodityOut = outliers(recentSlice(
-      byName(CommodityQueries.defs, "q_agent_commodity_performance").query(s, dir), "commodity"))
+    val marketOut = outliers(recentSlice(marketPerf, "ticker"))
+    val commodityOut = outliers(recentSlice(commodityPerf, "commodity"))
 
     // Cost note: this is the reference's WEEKLY consumer asset — it
     // reads four independent marts, and against the driver's

@@ -113,7 +113,13 @@ object EventAnalyticsQueries {
     QueryDef(
       "q_retention_cohorts",
       (s, dir) => {
-        val e = ev(s, dir).withColumn("di", expr(s"us div $DayUs"))
+        // Floored day index: `div` truncates toward zero while the
+        // DuckDB oracle's `//` floors, so pre-1970 timestamps
+        // (negative us) would diverge. Subtracting the non-negative
+        // pmod remainder first makes the integer div exact floor
+        // division at any sign (ADVICE r7).
+        val e = ev(s, dir)
+          .withColumn("di", expr(s"(us - pmod(us, $DayUs)) div $DayUs"))
         val cohort = e.filter(col("event_type") === "signup")
           .groupBy(col("user_id")).agg(min(col("di")).as("c0"))
         val size = cohort.groupBy(col("c0")).agg(count(lit(1)).as("cohort_size"))

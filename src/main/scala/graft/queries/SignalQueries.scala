@@ -98,7 +98,9 @@ object SignalQueries {
 
   val defs: Seq[QueryDef] = Seq(
     // Rolling Mahalanobis turbulence + expanding percentile + regime
-    // buckets (turbulence_index.py:80-177). No oracle: pinv.
+    // buckets (turbulence_index.py:80-177). Stored-golden oracle
+    // (r8): deterministic pinv over exact-decimal panels; numpy leg
+    // in tools/check_numeric.py.
     QueryDef(
       "q_turbulence_index",
       (s, dir) => {
@@ -128,10 +130,11 @@ object SignalQueries {
             r4(col("turb_avg20")).as("turb_avg20"), r4(col("turb_z252")).as("turb_z252"),
             col("regime"))
       },
-      None
+      TextMlGolden.turbulenceIndex
     ),
     // Rolling correlation-eigenvalue absorption ratio
-    // (absorption_ratio.py:49-145). No oracle: eigendecomposition.
+    // (absorption_ratio.py:49-145). Stored-golden oracle (r8):
+    // deterministic eigendecomposition; numpy leg in check_numeric.
     QueryDef(
       "q_absorption_ratio",
       (s, dir) => {
@@ -151,7 +154,7 @@ object SignalQueries {
           .select(col("d"), r4(col("ar")).as("absorption_ratio"),
             r4(col("ar_delta15")).as("ar_delta15"), r4(col("ar_z1y")).as("ar_z1y"))
       },
-      None
+      TextMlGolden.absorptionRatio
     ),
     // Rolling normalized permutation entropy per instrument
     // (entropy_complexity.py:31-180). Promoted to a full oracle in
@@ -249,7 +252,8 @@ object SignalQueries {
       """)
     ),
     // MST network metrics on rolling correlation, 5-day stride
-    // (network_correlation.py:60-156). No oracle.
+    // (network_correlation.py:60-156). Stored-golden oracle (r8);
+    // numpy leg in check_numeric.
     QueryDef(
       "q_mst_network_metrics",
       (s, dir) => {
@@ -269,7 +273,7 @@ object SignalQueries {
           r4(col("m._4")).as("mst_max_betweenness")
         )
       },
-      None
+      TextMlGolden.mstNetworkMetrics
     ),
     // Fear/greed composite: percentile-ranked components + nanmean +
     // buckets (fear_greed_composite.py:30-277). Full oracle.

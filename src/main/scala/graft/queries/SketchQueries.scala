@@ -20,13 +20,17 @@ object SketchQueries {
 
   private def T(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** DuckDB mirror of [[SketchOps.hash32]]: positional fold of the
-    * first 8 hex digits of md5 via ascii arithmetic. */
-  private def oHash32(e: String): String =
+  /** DuckDB mirror of [[SketchOps.hash32]]: positional fold of 8 hex
+    * digits of md5 (starting at `off`, 0-based) via ascii
+    * arithmetic. Offset 8 is the second independent 32-bit value the
+    * CMS Kirsch–Mitzenmacher scheme draws from the same md5. */
+  private def oHash32At(e: String, off: Int): String =
     (0 until 8).map { i =>
-      val d = s"ascii(substr(md5($e), ${i + 1}, 1))"
+      val d = s"ascii(substr(md5($e), ${off + i + 1}, 1))"
       s"CAST(CASE WHEN $d <= 57 THEN $d - 48 ELSE $d - 87 END AS BIGINT) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
+
+  private def oHash32(e: String): String = oHash32At(e, 0)
 
   private val K = 64
 
@@ -390,17 +394,21 @@ object SketchQueries {
       Some {
         val d = 4
         val w = 1024
-        val h = oHash32("CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)")
+        val h1 = oHash32At("CAST(l_partkey AS VARCHAR)", 0)
+        val h2 = oHash32At("CAST(l_partkey AS VARCHAR)", 8)
         s"""
         WITH rows_d AS (SELECT UNNEST(RANGE(0, $d)) AS r),
+        keyed AS (
+          SELECT l_partkey, $h1 AS h1, ($h2 % ${w - 1}) + 1 AS h2 FROM lineitem
+        ),
         cells AS (
-          SELECT r, $h % $w AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM lineitem CROSS JOIN rows_d
+          SELECT r, (h1 + r * h2) % $w AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM keyed CROSS JOIN rows_d
           GROUP BY 1, 2
         ),
-        probes AS (SELECT DISTINCT l_partkey FROM lineitem),
+        probes AS (SELECT DISTINCT l_partkey, h1, h2 FROM keyed),
         pb AS (
-          SELECT l_partkey, r, $h % $w AS bucket
+          SELECT l_partkey, r, (h1 + r * h2) % $w AS bucket
           FROM probes CROSS JOIN rows_d
         ),
         est AS (

@@ -234,13 +234,19 @@ object StreamingQueries {
         runToTable("stream_cms_cells", cells, "complete")
       },
       Some {
-        val h = (0 until 8).map { i =>
-          val d = s"ascii(substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), ${i + 1}, 1))"
+        // Kirsch–Mitzenmacher mirror of SketchOps.cmsSketch: h1/h2
+        // are hex digits 1-8 / 9-16 of ONE md5(key); row r's bucket
+        // is (h1 + r*h2') mod w with h2' = h2 mod (w-1) + 1.
+        def fold(off: Int) = (0 until 8).map { i =>
+          val d = s"ascii(substr(md5(CAST(l_partkey AS VARCHAR)), ${off + i + 1}, 1))"
           s"CAST(CASE WHEN $d <= 57 THEN $d - 48 ELSE $d - 87 END AS BIGINT) * ${1L << (4 * (7 - i))}"
         }.mkString("(", " + ", ")")
         s"""
-        SELECT r AS row, $h % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM lineitem CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS r)
+        WITH keyed AS (
+          SELECT ${fold(0)} AS h1, (${fold(8)} % 1023) + 1 AS h2 FROM lineitem
+        )
+        SELECT r AS row, (h1 + r * h2) % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keyed CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS r)
         GROUP BY 1, 2
       """
       }

@@ -33,4 +33,11 @@ object TextMlGolden {
   def bpePackedSequences: Option[String] = TextMlGoldenData.bpePackedSequences
   def domainClassifierEval: Option[String]    = TextMlGoldenData.domainClassifierEval
   def domainClassifierWeights: Option[String] = TextMlGoldenData.domainClassifierWeights
+  // r8 promotions: the three linear-algebra signals (Mahalanobis
+  // turbulence, eigen absorption, MST metrics) — deterministic
+  // (exact-decimal return panels, Breeze linalg, fixed windows, r4
+  // snap), independently recomputed by tools/check_numeric.py.
+  def turbulenceIndex: Option[String]   = TextMlGoldenData.turbulenceIndex
+  def absorptionRatio: Option[String]   = TextMlGoldenData.absorptionRatio
+  def mstNetworkMetrics: Option[String] = TextMlGoldenData.mstNetworkMetrics
 }

@@ -65,6 +65,25 @@ class BpeSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maxVocab cap: generous cap leaves the merge table unchanged; tight cap keeps top-freq words") {
+    val docs = runtime.Tables(spark, "/root/testdata/sf0.001").documents
+    val uncapped = BpeOps.train(docs, "text", numMerges = 40, minCount = 2L)
+    // the default cap (1M) is far above this corpus's vocabulary, so
+    // it must be a no-op on the trained table
+    val capped = BpeOps.train(docs, "text", numMerges = 40, minCount = 2L, maxVocab = 1000000)
+    assert(uncapped == capped)
+    // a vocabulary-sized cap is also a no-op (boundary: cap == |vocab|)
+    val vocabN = BpeOps.wordCounts(docs, "text").filter($"freq" >= 2L).count().toInt
+    assert(BpeOps.train(docs, "text", numMerges = 40, minCount = 2L, maxVocab = vocabN) == uncapped)
+    // a tight cap trains only on the highest-frequency words: every
+    // surviving merge frequency is explainable from the kept table
+    val tight = BpeOps.trainFromCounts(
+      BpeOps.wordCounts(docs, "text").filter($"freq" >= 2L)
+        .orderBy($"freq".desc, $"word".asc).limit(50)
+        .as[(String, Long)].collect().toSeq, numMerges = 40)
+    assert(BpeOps.train(docs, "text", numMerges = 40, minCount = 2L, maxVocab = 50) == tight)
+  }
+
   test("training is invariant to input partitioning; tokenize counts match encodeText") {
     val docs = runtime.Tables(spark, "/root/testdata/sf0.001").documents
     val a = BpeOps.train(docs, "text", numMerges = 40, minCount = 2L)

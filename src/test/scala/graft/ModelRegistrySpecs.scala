@@ -111,6 +111,30 @@ class ModelRegistrySpecs extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("DAG-mode consumers equal the isolated queries bit-for-bit (bench dag lane, VERDICT r7 #1)") {
+    // The bench's DAG lane must be a pure read-path change: every
+    // consumer over the Table-tier materializations returns exactly
+    // the rows the isolated (inline re-derivation) QueryDef returns.
+    val sf = "/root/testdata/sf0.001"
+    val dir = wh()
+    val frames = graft.queries.DagBenchModels.registry(spark, sf).run(spark, dir).frames
+    assert(frames.keySet == graft.queries.DagBenchModels.modelNames.toSet)
+    val isolated = graft.queries.Registry.byName
+    graft.queries.DagBenchModels.consumers(frames).foreach { case (name, dagFn) =>
+      // driver-side stringize+sort: engine sort order on tied rows is
+      // not stable, so compare canonicalized multisets
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val cols = df.columns.sorted.map(col(_))
+        df.select(cols: _*).collect().toSeq.map(_.toString).sorted
+      }
+      val a = rows(dagFn())
+      val b = rows(isolated(name).query(spark, sf))
+      assert(a.nonEmpty, s"$name: empty DAG-mode result")
+      assert(a == b, s"$name: DAG-mode result differs from isolated query")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_model_dag_mart: incremental run replaces batch-1 customer rows with batch-2") {
     val sf = "/root/testdata/sf0.001"
     val mart = graft.queries.ModelDagQueries.defs.head.query(spark, sf)

@@ -113,4 +113,33 @@ class ScaleSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(truthHigh.subsetOf(xxPairs),
       s"xx missed high-sim pairs: ${truthHigh -- xxPairs}")
   }
+
+  test("fleet audit: no CartesianProduct in any registry query plan (VERDICT r7 #3)") {
+    // The round-7 one-off audit ("zero CartesianProduct across all
+    // registry plans", SCALE.md §1) as a STANDING gate: every
+    // registry query's physical plan is built at sf0.001 and scanned
+    // for CartesianProduct. BroadcastNestedLoopJoin is whitelisted —
+    // the fleet's BNLJ occurrences are the documented scalar-
+    // broadcast crossJoin(broadcast(<single-row stats>)) pattern,
+    // the correct plan for a scalar join at any scale. Queries whose
+    // CONSTRUCTION executes jobs (streams, sinks, iterative
+    // closures, trainers) still yield a final-plan string, so
+    // nothing is exempted; construction failures fail the audit too.
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var audited = 0
+    graft.queries.Registry.all.foreach { q =>
+      try {
+        val plan = q.query(spark, dir).queryExecution.executedPlan.toString
+        audited += 1
+        if (plan.contains("CartesianProduct"))
+          offenders += s"${q.name}: CartesianProduct in plan"
+      } catch {
+        case e: Throwable => offenders += s"${q.name}: construction failed: ${e.getMessage}"
+      } finally spark.catalog.clearCache()
+    }
+    info(s"audited $audited registry query plans")
+    assert(audited >= 300, s"registry shrank? audited only $audited plans")
+    assert(offenders.isEmpty, s"fleet audit violations:\n${offenders.mkString("\n")}")
+  }
 }

@@ -38,6 +38,40 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def cast_decimals(tbl):
+    """DECIMAL columns -> float64, matching duckdb's .df() conversion
+    (to_pandas alone would yield Decimal objects -> str compare)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+    cols = []
+    for i, f in enumerate(tbl.schema):
+        c = tbl.column(i)
+        if pt.is_decimal(f.type):
+            c = pc.cast(c, pa.float64())
+        cols.append(c)
+    return pa.table(cols, names=tbl.column_names)
+
+
+def float_names(tbl):
+    import pyarrow.types as pt
+    return {f.name for f in tbl.schema if pt.is_floating(f.type)}
+
+
+def add_nan_null_tags(df, arrow_tbl, names):
+    """Append one tag column per named FLOAT column: 'v' value / 'n'
+    NaN / '0' NULL, row-aligned with df. The tags become extra compare
+    (and sort tie-break) columns so a spark-NaN row can never silently
+    match a duck-NULL row even when the per-column counts balance."""
+    import pyarrow.compute as pc
+    for name in names:
+        col = arrow_tbl.column(name)
+        nulls = pc.is_null(col).to_pandas().to_numpy()
+        nans = pc.fill_null(pc.is_nan(col), False).to_pandas().to_numpy()
+        tags = np.where(nulls, "0", np.where(nans, "n", "v"))
+        df[f"__nulltag_{name}"] = tags
+
+
 def compare(name, spark_df, duck_df, spark_arrow, duck_arrow):
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
@@ -120,9 +154,26 @@ def main():
             # compare uses the same pandas conversions as the driver
             spark_arrow = pa.concat_tables(
                 [pq.read_table(f) for f in files], promote_options="default")
-            duck_arrow = con.execute(sql).fetch_arrow_table()
+            # ONE duck execution: row order is not stable across
+            # executions, and the positional null/NaN tags below must
+            # align row-for-row with the value frame — so duck_df is
+            # derived from the same arrow table (decimals cast to
+            # float64 first, matching .df()'s conversion).
+            duck_arrow = cast_decimals(con.execute(sql).fetch_arrow_table())
             spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-            duck_df = con.execute(sql).df()
+            duck_df = duck_arrow.to_pandas(date_as_object=False)
+            # Positional null-vs-NaN tags (VERDICT r7 #7): equal per-
+            # column (null, nan) COUNTS can hide a swap (spark NaN at
+            # the row where duck has NULL and vice versa). Tag columns
+            # derived from the arrow tables ride through normalize()'s
+            # row sort as deterministic tie-breakers and are compared
+            # exactly, so the asymmetry is caught per ROW, matching
+            # the driver's stringized hash ("NaN" != null). Only
+            # columns floating on BOTH sides are tagged (an int-vs-
+            # float side pair is already a DTYPE MISMATCH).
+            tag_cols = float_names(spark_arrow) & float_names(duck_arrow)
+            add_nan_null_tags(spark_df, spark_arrow, tag_cols)
+            add_nan_null_tags(duck_df, duck_arrow, tag_cols)
             err = compare(name, spark_df, duck_df, spark_arrow, duck_arrow)
         except Exception as e:
             err = f"EXCEPTION {type(e).__name__}: {e}"
