@@ -125,7 +125,7 @@ object Bench {
         val tb0 = System.nanoTime()
         val frames = graft.queries.DagBenchModels.registry(spark, sfDir).run(spark, wh).frames
         val buildSec = (System.nanoTime() - tb0) / 1e9
-        val consumers = graft.queries.DagBenchModels.consumers(frames)
+        val consumers = graft.queries.DagBenchModels.consumers(spark, sfDir, frames)
         val timings = consumers.map { case (name, f) =>
           spark.catalog.clearCache(); System.gc()
           val t0 = System.nanoTime()

@@ -65,10 +65,19 @@ object FuzzyJoinOps {
       .select(col(leftKey), col(leftStr), xxhash64(col("variant")).as("__vfp"))
     val rv = withVariants(right.select(col(rightKey), col(rightStr)), rightStr)
       .select(col(rightKey), col(rightStr), xxhash64(col("variant")).as("__vfp"))
+    // Verify BEFORE the distinct: levenshtein is a cheap codegen'd
+    // per-pair expression, so evaluating it per candidate OCCURRENCE
+    // (a pair can collide on several shared variants) costs far less
+    // than shuffling every unverified candidate pair into the
+    // distinct — the exchange then carries only verified pairs
+    // (~neighborhood-size per record), and the filter runs map-side
+    // before any partial aggregation. `dist` is a function of the
+    // carried strings, so distinct-after-filter returns exactly the
+    // rows distinct-then-filter did.
     lv.join(rv, "__vfp")
-      .select(col(leftKey), col(leftStr), col(rightKey), col(rightStr))
-      .distinct()
-      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
+      .select(col(leftKey), col(leftStr), col(rightKey), col(rightStr),
+        levenshtein(col(leftStr), col(rightStr)).as("dist"))
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 }

@@ -373,15 +373,33 @@ object CrossAssetQueries2 {
   // cross_asset_divergences (ref, 61 LoC) — the fan-in
   // ------------------------------------------------------------------
 
-  def divergences(s: SparkSession, dir: String, asOf: Option[String]): DataFrame = {
-    val credit = creditSignals(s, dir, asOf)
-    val risk = riskConfirmationSignals(s, dir, asOf)
-      .withColumnRenamed("date", "r_date")
-    val comm = commoditySignals(s, dir, asOf)
-      .withColumnRenamed("date", "cm_date")
-    val breadth = breadthSignals(s, dir, asOf)
-      .withColumnRenamed("date", "b_date")
-    val conf = confirmationSignals(s, dir, asOf)
+  def divergences(s: SparkSession, dir: String, asOf: Option[String]): DataFrame =
+    divergencesFrom(s, dir, asOf,
+      creditSignals(s, dir, asOf),
+      riskConfirmationSignals(s, dir, asOf),
+      commoditySignals(s, dir, asOf),
+      breadthSignals(s, dir, asOf),
+      confirmationSignals(s, dir, asOf))
+
+  /** The fan-in over its five branch signals taken as FRAMES — the
+    * isolated query builds them inline (above, sharing stagings via
+    * the session-tier `Materialized` memo); the DAG-mode bench lane
+    * ([[DagBenchModels]]) hands in Table-tier materializations so
+    * this consumer is five date-keyed joins over mart scans. */
+  private[queries] def divergencesFrom(
+      s: SparkSession,
+      dir: String,
+      asOf: Option[String],
+      creditIn: DataFrame,
+      riskIn: DataFrame,
+      commIn: DataFrame,
+      breadthIn: DataFrame,
+      confIn: DataFrame): DataFrame = {
+    val credit = creditIn
+    val risk = riskIn.withColumnRenamed("date", "r_date")
+    val comm = commIn.withColumnRenamed("date", "cm_date")
+    val breadth = breadthIn.withColumnRenamed("date", "b_date")
+    val conf = confIn
       .select(col("date").as("cf_date"), col("dia_close"), col("iyt_close"),
         col("dia_high_252d"), col("iyt_high_252d"), col("dow_non_confirmation_flag"),
         col("soxx_spy_ratio"), col("soxx_spy_sma_200"), col("semis_divergence_flag"))

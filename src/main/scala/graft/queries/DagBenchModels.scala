@@ -44,7 +44,12 @@ object DagBenchModels {
     "mart_leading_econ_return_indicator",
     "stg_base_historical_thin",
     "mart_market_performance",
-    "mart_commodity_performance")
+    "mart_commodity_performance",
+    "int_credit_signals",
+    "int_risk_confirmation_signals",
+    "int_commodity_signals",
+    "int_breadth_signals",
+    "int_confirmation_signals")
 
   /** The registry: five source-model marts, no inter-model deps (the
     * chains SHARE consumers, not parents), each a durable Table. */
@@ -60,11 +65,29 @@ object DagBenchModels {
         byName(AgentQueries.defs, "q_agent_market_performance").query(s, dir)))
       .register(ModelDef("mart_commodity_performance", Nil, Materialization.Table, _ =>
         byName(CommodityQueries.defs, "q_agent_commodity_performance").query(s, dir)))
+      // the five int_cross_asset branches behind the divergences
+      // fan-in — dbt `materialized: table` intermediates in the
+      // reference (dbt_project.yml:30-57)
+      .register(ModelDef("int_credit_signals", Nil, Materialization.Table, _ =>
+        CrossAssetQueries2.creditSignals(s, dir, None)))
+      .register(ModelDef("int_risk_confirmation_signals", Nil, Materialization.Table, _ =>
+        CrossAssetQueries.riskConfirmationSignals(s, dir, None)))
+      .register(ModelDef("int_commodity_signals", Nil, Materialization.Table, _ =>
+        CrossAssetQueries2.commoditySignals(s, dir, None)))
+      .register(ModelDef("int_breadth_signals", Nil, Materialization.Table, _ =>
+        CrossAssetQueries.breadthSignals(s, dir, None)))
+      .register(ModelDef("int_confirmation_signals", Nil, Materialization.Table, _ =>
+        CrossAssetQueries.confirmationSignals(s, dir, None)))
 
-  /** The fan-in consumers, reading ONLY the materialized frames.
-    * Names match the isolated lane's query names so BENCH_FULL's dag
-    * section lines up row-for-row with the isolated numbers. */
-  def consumers(frames: Map[String, DataFrame]): Seq[(String, () => DataFrame)] = Seq(
+  /** The fan-in consumers, reading ONLY the materialized frames
+    * (plus, for divergences, the tiny broadcast as-of spine derived
+    * from `(s, dir)`). Names match the isolated lane's query names so
+    * BENCH_FULL's dag section lines up row-for-row with the isolated
+    * numbers. */
+  def consumers(
+      s: SparkSession,
+      dir: String,
+      frames: Map[String, DataFrame]): Seq[(String, () => DataFrame)] = Seq(
     "q_interesting_data_points" -> (() =>
       DataPointQueries.interestingFrom(
         frames("mart_fred_monthly_calc"),
@@ -76,5 +99,12 @@ object DagBenchModels {
     "q_agent_leading_econ_return_indicator_snapshot" -> (() =>
       AnalysisQueries2.leadingEconSnapshotFrom(frames("stg_base_historical_thin"))),
     "q_agent_market_performance" -> (() => frames("mart_market_performance")),
-    "q_agent_commodity_performance" -> (() => frames("mart_commodity_performance")))
+    "q_agent_commodity_performance" -> (() => frames("mart_commodity_performance")),
+    "q_cross_asset_divergences" -> (() =>
+      CrossAssetQueries2.divergencesFrom(s, dir, None,
+        frames("int_credit_signals"),
+        frames("int_risk_confirmation_signals"),
+        frames("int_commodity_signals"),
+        frames("int_breadth_signals"),
+        frames("int_confirmation_signals"))))
 }

@@ -120,7 +120,7 @@ class ModelRegistrySpecs extends AnyFunSuite with BeforeAndAfterAll {
     val frames = graft.queries.DagBenchModels.registry(spark, sf).run(spark, dir).frames
     assert(frames.keySet == graft.queries.DagBenchModels.modelNames.toSet)
     val isolated = graft.queries.Registry.byName
-    graft.queries.DagBenchModels.consumers(frames).foreach { case (name, dagFn) =>
+    graft.queries.DagBenchModels.consumers(spark, sf, frames).foreach { case (name, dagFn) =>
       // driver-side stringize+sort: engine sort order on tied rows is
       // not stable, so compare canonicalized multisets
       def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
