@@ -99,9 +99,13 @@ object Bench {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(fullName))
         val pat = java.util.regex.Pattern.compile("\"(q_[A-Za-z0-9_]+)\":([0-9.]+)")
         val mObj = txt.indexOf("\"min\":")
-        if (mObj < 0) Map.empty
+        // scan ONLY the min object itself (up to its closing brace) —
+        // an unbounded scan would also match the trailing "runs"
+        // object, whose sample COUNTS (3) then poison the minima
+        val mEnd = if (mObj < 0) -1 else txt.indexOf('}', mObj)
+        if (mObj < 0 || mEnd < 0) Map.empty
         else {
-          val m = pat.matcher(txt.substring(mObj))
+          val m = pat.matcher(txt.substring(mObj, mEnd + 1))
           val b = Map.newBuilder[String, Double]
           while (m.find()) b += m.group(1) -> m.group(2).toDouble
           b.result()

@@ -206,7 +206,10 @@ object DataPointQueries {
     // unsafe (cellPct lags are POSITIONAL — sparse part_ series reach
     // arbitrarily far back in calendar time). In production the marts
     // are ModelRegistry Table-tier materializations and this query is
-    // the cheap scan-side of each detector; its bench cost is the
+    // the cheap scan-side of each detector — MEASURED since r8 by the
+    // bench's DAG lane (DagBenchModels + BENCH_FULL.json `dag`):
+    // ~1.2 s at sf0.1 over the materialized marts vs ~20 s isolated,
+    // equivalence spec-gated bit-for-bit. The isolated number is the
     // price of the driver's cleared-cache isolation, not a plan
     // defect.
     Seq(bigMoves, trend, corrFindings, marketOut, commodityOut)
