@@ -118,11 +118,9 @@ object FuzzyJoinQueries {
         val records = master
           .unionByName(feed("d1x", "k % 32", "feed1"))
           .unionByName(feed("d2x", "(k * 7 + 5) % 32", "feed2"))
-        val pairs = FuzzyJoinOps.symspellJoin(
-            records.select(col("rid").as("rid_a"), col("name").as("name_a")),
-            "rid_a", "name_a",
-            records.select(col("rid").as("rid_b"), col("name").as("name_b")),
-            "rid_b", "name_b", maxDist = 1)
+        val pairs = FuzzyJoinOps.symspellSelfJoin(
+            records, "rid", "name",
+            "rid_a", "name_a", "rid_b", "name_b", maxDist = 1)
           .filter(col("rid_a") < col("rid_b"))
           .select(col("rid_a"), col("rid_b"))
         val labels = graft.operators.DedupOps

@@ -50,6 +50,21 @@ class FuzzyJoinSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalled == n) // the true identity is always among verified candidates
   }
 
+  test("symspellSelfJoin equals the two-sided self call minus self-pairs") {
+    val recs = runtime.Tables(spark, "/root/testdata/sf0.001").customer
+      .select(col("c_custkey").cast("string").as("rid"), md5(col("c_custkey").cast("string")).as("name"))
+      .limit(300)
+    val twoSided = FuzzyJoinOps.symspellJoin(
+        recs.select(col("rid").as("a"), col("name").as("na")), "a", "na",
+        recs.select(col("rid").as("b"), col("name").as("nb")), "b", "nb")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b", "dist").collect().map(_.toString).sorted.toSeq
+    val self = FuzzyJoinOps.symspellSelfJoin(recs, "rid", "name", "a", "na", "b", "nb")
+      .select("a", "b", "dist").collect().map(_.toString).sorted.toSeq
+    assert(self == twoSided)
+    spark.catalog.clearCache()
+  }
+
   test("fingerprint keying: variant join key is the 8-byte xxhash64, and ER CC converges in O(log) rounds") {
     // plan-level check: the candidate join must key on the hash, not
     // the variant string (shuffle-width claim in the docstring)
