@@ -461,6 +461,12 @@ object DedupOps {
       bCol: String,
       maxIter: Int = 20
   ): (DataFrame, Int) = {
+    // The union reads `pairs` twice (forward + swapped) but the two
+    // branches are identical subtrees up to the projection, so
+    // ReuseExchange serves the second branch from the first's
+    // shuffle — an explicit pre-checkpoint of the half-edge list was
+    // measured cost-neutral-to-negative here (r8) and is deliberately
+    // NOT done.
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
