@@ -174,7 +174,11 @@ object Bench {
       }
       b.result()
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"BENCH_FULL.json","queries":${qmap(top)}$dagJson,"sf":"$sfDir"}""")
+    // min_total = Σ per-query minima across the round's full runs —
+    // the storm-resistant comparable (a single run's total conflates
+    // plan cost with whatever the host was doing that quarter hour)
+    val minTotal = if (only.isEmpty) s""","min_total":${fmt(minMap.map(_._2).sum)}""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"BENCH_FULL.json"$minTotal,"queries":${qmap(top)}$dagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
