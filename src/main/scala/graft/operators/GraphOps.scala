@@ -163,6 +163,103 @@ object GraphOps {
       .join(deg.select(col("n").as("node"), col("d").as("degree")), Seq("node"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected pair list, made DETERMINISTIC: every node starts
+    * labeled with its own (numeric) id; each round every node adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * SMALLEST label; all nodes update simultaneously for a FIXED
+    * iteration count. Classic LPA randomizes update order precisely
+    * to break oscillations — fixing synchronous order + min-label
+    * ties trades a little community quality for a replayable
+    * fixpoint any SQL engine reproduces row-for-row (the same
+    * determinism discipline as [[pageRankScaled]]).
+    *
+    * Scale, per iteration: the neighbor-label join lines up against
+    * the dst-partitioned edge cache (no exchange on the |E| side; the
+    * |V|-sized label frame is the one that moves, shuffle-hash
+    * hinted), then ONE |E|-wide shuffle for the (node, label) counts
+    * — map-side partial aggregation collapses it to the distinct
+    * (node, label) pairs — and a |distinct-labels|-wide regroup for
+    * the argmax. The argmax is `max(struct(cnt, -label))`: exact
+    * integers, no window sort. Labels must be positive longs (the
+    * negation is the tie-break). Rounds are localCheckpoint'ed and
+    * superseded checkpoints dropped, exactly as PageRank.
+    *
+    * Returns (node, community, community_size). */
+  def labelPropagation(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node").cast("long"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val next = edges
+        .join(labels.withColumnRenamed("node", "dst").hint("shuffle_hash"), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("src").as("node"), (-col("__m.__nl")).as("label"))
+        .localCheckpoint(true)
+      dropCheckpoint(labels)
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes.hint("shuffle_hash"), Seq("label"))
+      .select(col("node"), col("label").as("community"), col("community_size"))
+  }
+
+  /** Bounded-hop single-source BFS over a directed edge list
+    * (`src`, `dst`): minimum hop count from `source` to every node
+    * reachable within `maxHops`. The recurrence is the relational
+    * Bellman-Ford specialization for unit weights —
+    * `d_i = min-by-node(d_{i-1} ∪ {(dst, h+1) : (src,dst) ∈ E, (src,h) ∈ d_{i-1}})`
+    * — which a SQL engine replays verbatim, so the oracle is the
+    * same unrolled CTE. Exact integers throughout.
+    *
+    * Scale, per hop: one join of the (≤|V|)-row distance frame
+    * against the src-partitioned edge cache (edge side never
+    * re-exchanges; the distance side is the small mover,
+    * shuffle-hash hinted) and one |V|-keyed min regroup. Rounds are
+    * localCheckpoint'ed with superseded checkpoints dropped. The
+    * frame re-aggregates already-settled nodes each round — the
+    * frontier-only variant saves that |V| pass but needs an anti
+    * join per round; at |V| ≪ |E| the full re-min is cheaper. */
+  def boundedBfs(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .persist()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val next = dist
+        .unionAll(
+          e.join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
+            .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
+        .groupBy(col("node"))
+        .agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      dropCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
   /** Customer–supplier trade graph from the TPC-H-ish fixtures:
     * symmetric edges `c:<custkey> <-> s:<suppkey>` for every distinct
     * (customer, supplier) pair that shares an order. */

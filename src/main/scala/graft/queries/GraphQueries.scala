@@ -13,6 +13,38 @@ import graft.runtime.Tables
 object GraphQueries {
 
   private val Iters = 8
+  private val LpaIters = 4
+  private val BfsHops = 6
+  private val BfsSource = "c:1"
+
+  /** Shared oracle prelude: the 1995 part co-purchase pair list
+    * (parts adjacent when some 1995 order contains both). */
+  private val CoPurchase1995 =
+    """li AS (
+          SELECT l.l_orderkey AS o, l.l_partkey AS p
+          FROM lineitem l JOIN orders od ON l.l_orderkey = od.o_orderkey
+          WHERE year(od.o_orderdate) = 1995
+        ),
+        pairs AS (
+          SELECT DISTINCT x.p AS a, y.p AS b
+          FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        )"""
+
+  /** The 1995 co-purchase pair frame, Spark side (shared by the
+    * triangle and community queries). */
+  private def coPurchasePairs(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    val t = Tables(s, dir)
+    val li = t.orders
+      .filter(year(to_date(col("o_orderdate"))) === 1995)
+      .select(col("o_orderkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.select(col("o"), col("p").as("pa"))
+      .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -78,30 +110,10 @@ object GraphQueries {
     // O(m^1.5) by the orientation, never Σ deg²).
     QueryDef(
       "q_triangle_copurchase",
-      (s: SparkSession, dir: String) => {
-        import org.apache.spark.sql.functions._
-        val t = Tables(s, dir)
-        val li = t.orders
-          .filter(year(to_date(col("o_orderdate"))) === 1995)
-          .select(col("o_orderkey"))
-          .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val pairs = li.select(col("o"), col("p").as("pa"))
-          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
-          .filter(col("pa") < col("pb"))
-        GraphOps.triangleCounts(pairs, "pa", "pb")
-      },
-      Some("""
-        WITH li AS (
-          SELECT l.l_orderkey AS o, l.l_partkey AS p
-          FROM lineitem l JOIN orders od ON l.l_orderkey = od.o_orderkey
-          WHERE year(od.o_orderdate) = 1995
-        ),
-        pairs AS (
-          SELECT DISTINCT x.p AS a, y.p AS b
-          FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
-        ),
+      (s: SparkSession, dir: String) =>
+        GraphOps.triangleCounts(coPurchasePairs(s, dir), "pa", "pb"),
+      Some(s"""
+        WITH $CoPurchase1995,
         deg AS (
           SELECT n, COUNT(*) AS d FROM (
             SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1
@@ -131,6 +143,86 @@ object GraphQueries {
         FROM corners JOIN deg ON node = deg.n
         GROUP BY node
       """)
+    ),
+    // Deterministic synchronous label-propagation communities on the
+    // same co-purchase graph: LpaIters simultaneous rounds of
+    // adopt-the-most-frequent-neighbor-label, ties to the smallest
+    // label (GraphOps.labelPropagation). The oracle replays the exact
+    // recurrence as unrolled CTEs — integer counts and a total
+    // tie-break make the fixpoint engine-independent.
+    QueryDef(
+      "q_label_propagation_communities",
+      (s: SparkSession, dir: String) =>
+        GraphOps.labelPropagation(coPurchasePairs(s, dir), "pa", "pb", LpaIters),
+      Some {
+        val rounds = (1 to LpaIters).map { i =>
+          s"""
+        l$i AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+              ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+            FROM (
+              SELECT e.src AS node, l.label AS label, COUNT(*) AS c
+              FROM edges e JOIN l${i - 1} l ON e.dst = l.node
+              GROUP BY e.src, l.label)
+          ) WHERE rk = 1
+        )"""
+        }.mkString(",", ",", "")
+        s"""
+        WITH $CoPurchase1995,
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b AS src, a AS dst FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)$rounds,
+        sizes AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+          FROM l$LpaIters GROUP BY label
+        )
+        SELECT l.node AS node, l.label AS community, s.community_size
+        FROM l$LpaIters l JOIN sizes s ON l.label = s.label
+      """
+      }
+    ),
+    // Bounded-hop single-source BFS on the customer–supplier trade
+    // graph: minimum hop distance from customer c:1 within BfsHops
+    // hops (GraphOps.boundedBfs — the unit-weight Bellman-Ford
+    // recurrence, replayed verbatim by the unrolled-CTE oracle).
+    QueryDef(
+      "q_bfs_hops_trade",
+      (s: SparkSession, dir: String) => {
+        val t = Tables(s, dir)
+        GraphOps.boundedBfs(
+          GraphOps.tradeGraphEdges(t.orders, t.lineitem), BfsSource, BfsHops)
+      },
+      Some {
+        val rounds = (1 to BfsHops).map { i =>
+          s"""
+        d$i AS (
+          SELECT node, MIN(hops) AS hops FROM (
+            SELECT node, hops FROM d${i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.hops + 1 AS hops
+            FROM edges e JOIN d${i - 1} d ON e.src = d.node
+          ) GROUP BY node
+        )"""
+        }.mkString(",", ",", "")
+        s"""
+        WITH pairs AS (
+          SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                          's:' || CAST(l_suppkey AS VARCHAR) AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+          SELECT c AS src, s AS dst FROM pairs
+          UNION ALL
+          SELECT s AS src, c AS dst FROM pairs
+        ),
+        d0 AS (SELECT '$BfsSource' AS node, CAST(0 AS BIGINT) AS hops)$rounds
+        SELECT node, hops FROM d$BfsHops
+      """
+      }
     )
   )
 }

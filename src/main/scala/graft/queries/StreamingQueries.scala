@@ -115,6 +115,37 @@ object StreamingQueries {
         FROM orders GROUP BY 1, 2
       """)
     ),
+    // Hopping (sliding) windows: 14-day windows sliding by 7, so
+    // every order lands in exactly TWO overlapping windows — the
+    // state-store shape where one input row updates multiple window
+    // states. Epoch-aligned like the tumbling variant; the oracle
+    // replays the two-window membership as an explicit offset
+    // cross join (start ∈ {7·⌊d/7⌋, 7·(⌊d/7⌋−1)} — the multiples of
+    // the slide within (ts − 14d, ts]).
+    QueryDef(
+      "q_stream_hopping_windows",
+      (s, dir) => {
+        val src = stream(s, dir, "orders")
+          .select(col("o_orderdate").cast("timestamp").as("ts"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .withWatermark("ts", "30 days")
+        val agg = src
+          .groupBy(window(col("ts"), "14 days", "7 days"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            QueryDef.dsum(col("o_totalprice")).as("sum_price"))
+          .select(col("window.start").cast("date").as("window_start"),
+            col("o_orderpriority"), col("n_orders"), col("sum_price"))
+        runToTable("stream_hopping_windows", agg, "complete")
+      },
+      Some("""
+        SELECT DATE '1970-01-01' + CAST((FLOOR(date_diff('day', DATE '1970-01-01', o_orderdate) / 7.0) - t.k) * 7 AS INTEGER)
+            AS window_start,
+          o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) t
+        GROUP BY 1, 2
+      """)
+    ),
     // Custom keyed state via flatMapGroupsWithState: running per-key
     // totals maintained in the state store. AvailableNow with no
     // maxFilesPerTrigger processes the (single-file) source in one

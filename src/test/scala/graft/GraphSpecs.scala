@@ -48,4 +48,38 @@ class GraphSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r1 == r3, "completeInbound fast path must not change results")
   }
+
+  test("label propagation: two bridged triangles split into their cliques (hand-replayed)") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12}, bridge 3–10. Synchronous
+    // min-tie-break rounds hand-replayed: after 4 rounds the cliques
+    // carry labels 1 and 3 respectively (the bridge node 3's own id
+    // wins the right clique via round-1 ties, then stabilizes).
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("a", "b")
+    val got = GraphOps.labelPropagation(pairs, "a", "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (3L, 3L), 11L -> (3L, 3L), 12L -> (3L, 3L))
+    assert(got == want, s"got $got")
+    // byte-stable under repartitioning (the argmax is a total order)
+    val got2 = GraphOps.labelPropagation(pairs.repartition(7), "a", "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == got2, "deterministic under repartition")
+  }
+
+  test("bounded BFS: min hop counts on a branched path with a shortcut") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("b", "f"))
+      .toDF("src", "dst")
+    val got = GraphOps.boundedBfs(edges, "a", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c is min(direct 1, via-b 2) = 1; e lands at hop 3 via the shortcut
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "f" -> 2L, "e" -> 3L),
+      s"got $got")
+    val capped = GraphOps.boundedBfs(edges, "a", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!capped.contains("e") && capped("d") == 2L, s"hop bound must cut e: $capped")
+  }
 }
