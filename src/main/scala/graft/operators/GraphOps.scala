@@ -200,18 +200,15 @@ object GraphOps {
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("dst"))
       .persist()
+    // The eager seed checkpoint executes THROUGH the edge cache, so
+    // the cache is materialized (and its partitioning visible to the
+    // planner) before any round is planned — same reason as the
+    // explicit count() in [[boundedBfs]].
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node").cast("long"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val next = edges
-        .join(labels.withColumnRenamed("node", "dst").hint("shuffle_hash"), Seq("dst"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("__c"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
-        .select(col("src").as("node"), (-col("__m.__nl")).as("label"))
-        .localCheckpoint(true)
+      val next = lpaRound(edges, labels).localCheckpoint(true)
       dropCheckpoint(labels)
       labels = next
     }
@@ -220,6 +217,21 @@ object GraphOps {
     labels.join(sizes.hint("shuffle_hash"), Seq("label"))
       .select(col("node"), col("label").as("community"), col("community_size"))
   }
+
+  /** One synchronous LPA round. Exactly THREE hash exchanges when
+    * `edges` is cached pre-partitioned by `dst` ([[labelPropagation]]
+    * guarantees it; PlanSpecs gates it): the |V|-sized label frame
+    * moving to the join, the (node,label) count shuffle (partial
+    * aggregation collapses it to distinct pairs map-side), and the
+    * argmax regroup. The |E| edge side never re-exchanges. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.withColumnRenamed("node", "dst").hint("shuffle_hash"), Seq("dst"))
+      .groupBy(col("src"), col("label"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("src"))
+      .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+      .select(col("src").as("node"), (-col("__m.__nl")).as("label"))
 
   /** Bounded-hop single-source BFS over a directed edge list
     * (`src`, `dst`): minimum hop count from `source` to every node
@@ -242,23 +254,36 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist()
+    // Materialize the cache BEFORE planning round 1: an AQE-planned
+    // cache that has not run yet reports unknown output partitioning,
+    // so the first round's join would re-exchange the |E| side
+    // (later rounds, planned after execution fills the cache, line
+    // up anyway — PlanSpecs gates the aligned shape).
+    e.count()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to maxHops) {
-      val next = dist
-        .unionAll(
-          e.join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
-            .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
-        .groupBy(col("node"))
-        .agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+      val next = bfsRound(e, dist).localCheckpoint(true)
       dropCheckpoint(dist)
       dist = next
     }
     e.unpersist(blocking = false)
     dist
   }
+
+  /** One BFS relaxation round. Exactly TWO hash exchanges when
+    * `edges` is cached pre-partitioned by `src` ([[boundedBfs]]
+    * guarantees it; PlanSpecs gates it): the ≤|V| distance frame
+    * moving to the join, and the node-keyed min regroup above the
+    * union (ONE exchange — partial min runs per branch first). */
+  private[graft] def bfsRound(edges: DataFrame, dist: DataFrame): DataFrame =
+    dist
+      .unionAll(
+        edges.join(dist.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
+          .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
+      .groupBy(col("node"))
+      .agg(min(col("hops")).as("hops"))
 
   /** Customer–supplier trade graph from the TPC-H-ish fixtures:
     * symmetric edges `c:<custkey> <-> s:<suppkey>` for every distinct

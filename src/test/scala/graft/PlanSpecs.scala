@@ -243,6 +243,67 @@ class PlanSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "exactly the two direction-ordered window sorts")
   }
 
+  /** Count "Exchange hashpartitioning" lines OUTSIDE InMemoryRelation
+    * subtrees: a cached relation prints its own build plan (twice,
+    * under AQE — final + initial), whose exchanges ran once at cache
+    * fill and are not per-iteration cost. Skips every line indented
+    * deeper than an InMemoryRelation line until indentation returns. */
+  private def exchangesOutsideCache(plan: String): Int = {
+    var skipDepth = -1
+    var n = 0
+    for (line <- plan.linesIterator) {
+      val depth = line.indexWhere(c => c.isLetter || c == '=')
+      val d = if (depth < 0) Int.MaxValue else depth
+      if (skipDepth >= 0 && d <= skipDepth) skipDepth = -1
+      if (skipDepth < 0) {
+        if (line.contains("InMemoryRelation")) skipDepth = d
+        else if (line.contains("Exchange hashpartitioning")) n += 1
+      }
+    }
+    n
+  }
+
+  test("LPA round: three hash exchanges, edge cache never re-exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val und = pairs.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst")).persist()
+    val labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node").cast("long")).localCheckpoint(true)
+    val plan = graft.operators.GraphOps.lpaRound(edges, labels)
+      .queryExecution.executedPlan.toString
+    edges.unpersist(blocking = false)
+    // the label mover + the (node,label) count shuffle + the argmax
+    // regroup — a 4th hash exchange means the dst-partitioned edge
+    // cache stopped lining up with the join
+    assert(exchangesOutsideCache(plan) == 3,
+      s"LPA round must be exactly 3 hash exchanges outside the edge cache:\n$plan")
+    assert(plan.contains("partial_count"), "neighbor-label counts must partial-aggregate map-side")
+  }
+
+  test("BFS round: two hash exchanges, edge cache never re-exchanges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      .repartition(col("src")).persist()
+    // materialized first, as boundedBfs does — an unexecuted AQE
+    // cache plan hides its partitioning from the round-1 planner
+    edges.count()
+    val dist = spark.range(1).select(lit("a").as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    val plan = graft.operators.GraphOps.bfsRound(edges, dist)
+      .queryExecution.executedPlan.toString
+    edges.unpersist(blocking = false)
+    // the distance mover to the join + ONE min regroup above the
+    // union (partial min per branch first)
+    assert(exchangesOutsideCache(plan) == 2,
+      s"BFS round must be exactly 2 hash exchanges outside the edge cache:\n$plan")
+    assert(plan.contains("partial_min"), "hop minima must partial-aggregate before the exchange")
+  }
+
   test("embedding mean-pool is a single (group, dim)-keyed shuffle") {
     val plan = executedPlan("q_embedding_mean_pool")
     assert("Exchange ".r.findAllIn(plan).size == 1,
