@@ -28,6 +28,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The fleet's ~85 bounded global-window sites (WindowOps.scala
+    // header; boundedness spec-gated in GlobalWindowSpecs) each emit an
+    // identical WindowExec single-partition WARN — thousands of lines
+    // that bury real warnings in the driver's tail capture (VERDICT r8
+    // #8). Silence that one category; everything else stays at WARN.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () }
 
     // warmup: JVM + codegen + parquet footers (not reported). Three
     // passes with different shapes — a star join, a window/lookback
@@ -51,14 +60,31 @@ object Bench {
 
     // Local-dev subset filter (comma-separated names); driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def timed(fn: (SparkSession, String) => DataFrame): Double = {
+    // Designated scale-suite mode (VERDICT r8 #1): SPARK_GRAFT_SUITE=scale
+    // runs the named shuffle-heavy subset (plus the DAG lane) and DOES
+    // record a suffixed BENCH_FULL_<sf>.json — the sf1 evidence run.
+    val suite = sys.env.get("SPARK_GRAFT_SUITE")
+    val suiteSet: Option[Set[String]] = suite.map {
+      case "scale" => ScaleSuite.names
+      case other   => sys.error(s"unknown SPARK_GRAFT_SUITE '$other' (know: scale)")
+    }
+    val selected: Option[Set[String]] = only.orElse(suiteSet)
+    // Full-record runs: everything except ad-hoc ONLY subsets.
+    val record = only.isEmpty
+    def timed(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       // Attributable per-query numbers: caches cleared and a full GC
       // forced BEFORE the clock starts, so one query's garbage (or
       // leaked cache) can't bleed into its alphabetical neighbor.
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Failures surface on stderr (ADVICE r8: a swallowed exception
+      // must not masquerade as a normal timing) but keep the elapsed
+      // number — correctness has its own gate; the bench's job is time.
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across measurements
       dt
@@ -73,12 +99,12 @@ object Bench {
     // are the comparable round-over-round number.
     val MedianFloorSec = 4.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => selected.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val first = timed(fn)
+        val first = timed(name, fn)
         if (first <= MedianFloorSec) (name, first, 1, first)
         else {
-          val samples = Seq(first, timed(fn), timed(fn)).sorted
+          val samples = Seq(first, timed(name, fn), timed(name, fn)).sorted
           (name, samples(1), 3, samples.head)
         }
       }
@@ -95,25 +121,71 @@ object Bench {
     // round-over-round comparison. Names no longer in the registry
     // are dropped; partial (SPARK_GRAFT_ONLY) runs never merge.
     val sfTag = new java.io.File(sfDir).getName
-    val fullName = if (sfTag == "sf0.1") "BENCH_FULL.json" else s"BENCH_FULL_$sfTag.json"
+    // Suite runs own the canonical suffixed name ONLY at sf1 (the
+    // designated scale-evidence record); anywhere else they write a
+    // suite-tagged file so they can never clobber a full-fleet record.
+    val fullName =
+      if (suite.isDefined && sfTag != "sf1") s"BENCH_FULL_${suite.get}_$sfTag.json"
+      else if (sfTag == "sf0.1") "BENCH_FULL.json"
+      else s"BENCH_FULL_$sfTag.json"
+
+    // Cross-run minima are only comparable across runs of the SAME
+    // engine code (ADVICE r8: an unconditional merge lets a regressed
+    // query's stale historical minimum persist forever). The scope key
+    // is an md5 over the main-source tree — doc/bench-record commits
+    // don't disturb it, any operator change resets the min map.
+    val codeFp: String = try {
+      val root = java.nio.file.Paths.get("src/main/scala")
+      if (!java.nio.file.Files.isDirectory(root)) ""
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala
+          .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+          .foreach { p =>
+            md.update(p.toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(p))
+          }
+        finally walk.close()
+        md.digest().map("%02x".format(_)).mkString
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+    val priorTxt: String =
+      if (!record) ""
+      else try java.nio.file.Files.readString(java.nio.file.Paths.get(fullName))
+      catch { case scala.util.control.NonFatal(_) => "" }
+    // Flat-object parse bounded to the NAMED object's own closing
+    // brace — an unbounded scan once matched the trailing "runs"
+    // object, whose sample COUNTS (3) poisoned the minima.
+    def priorObj(key: String): Map[String, Double] = {
+      val mObj = priorTxt.indexOf("\"" + key + "\":")
+      val mEnd = if (mObj < 0) -1 else priorTxt.indexOf('}', mObj)
+      if (mObj < 0 || mEnd < 0) Map.empty
+      else {
+        val pat = java.util.regex.Pattern.compile("\"([A-Za-z0-9_]+)\":(-?[0-9.]+)")
+        val m = pat.matcher(priorTxt.substring(mObj + key.length + 3, mEnd + 1))
+        val b = Map.newBuilder[String, Double]
+        while (m.find()) b += m.group(1) -> m.group(2).toDouble
+        b.result()
+      }
+    }
+    def priorScalar(key: String): Option[Double] = {
+      val m = java.util.regex.Pattern
+        .compile("\"" + key + "\":(-?[0-9.]+)").matcher(priorTxt)
+      if (m.find()) Some(m.group(1).toDouble) else None
+    }
+    val priorCode = {
+      val m = java.util.regex.Pattern
+        .compile("\"code\":\"([0-9a-f]*)\"").matcher(priorTxt)
+      if (m.find()) m.group(1) else ""
+    }
+    val mergePrior = codeFp.nonEmpty && priorCode == codeFp
+    if (record && priorTxt.nonEmpty && !mergePrior)
+      System.err.println(s"[bench] $fullName min map reset (main-source fingerprint changed)")
     val priorMin: Map[String, Double] =
-      if (only.nonEmpty) Map.empty
-      else try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(fullName))
-        val pat = java.util.regex.Pattern.compile("\"(q_[A-Za-z0-9_]+)\":([0-9.]+)")
-        val mObj = txt.indexOf("\"min\":")
-        // scan ONLY the min object itself (up to its closing brace) —
-        // an unbounded scan would also match the trailing "runs"
-        // object, whose sample COUNTS (3) then poison the minima
-        val mEnd = if (mObj < 0) -1 else txt.indexOf('}', mObj)
-        if (mObj < 0 || mEnd < 0) Map.empty
-        else {
-          val m = pat.matcher(txt.substring(mObj, mEnd + 1))
-          val b = Map.newBuilder[String, Double]
-          while (m.find()) b += m.group(1) -> m.group(2).toDouble
-          b.result()
-        }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      if (mergePrior) priorObj("min") else Map.empty
     val minMap: Seq[(String, Double)] = results.map { case (name, _, _, curMin) =>
       name -> math.min(curMin, priorMin.getOrElse(name, Double.MaxValue))
     }
@@ -125,7 +197,7 @@ object Bench {
     // evict a durable Table, so these numbers are honest scan costs.
     // Runs only on full sweeps (it shares the JVM-warm state).
     val dagLane: Option[(Double, Seq[(String, Double)])] =
-      if (only.nonEmpty) None
+      if (!record) None
       else try {
         val wh = java.nio.file.Files.createTempDirectory("graft-dagbench-").toString
         spark.catalog.clearCache(); System.gc()
@@ -136,8 +208,14 @@ object Bench {
         val timings = consumers.map { case (name, f) =>
           spark.catalog.clearCache(); System.gc()
           val t0 = System.nanoTime()
-          try { f().count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          // A broken consumer must NOT masquerade as a fast valid
+          // timing (ADVICE r8): record the sentinel -1, log the cause.
+          val ok = try { f().count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] dag consumer $name FAILED: ${e.getMessage}")
+              false
+          }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
         spark.catalog.clearCache()
         Some((buildSec, timings))
@@ -146,6 +224,20 @@ object Bench {
           System.err.println(s"[bench] dag lane failed: ${e.getMessage}")
           None
       }
+    // dag_build + per-consumer minima get the same cross-run (code-
+    // scoped) min discipline as the query board (VERDICT r8 #3) —
+    // the build cost was a single contended sample until now. Failed
+    // consumers (-1 sentinel) never enter the min merge.
+    val dagMinJson = dagLane.map { case (build, ts) =>
+      val priorDagMin = if (mergePrior) priorObj("dag_min") else Map.empty[String, Double]
+      val priorBuildMin = if (mergePrior) priorScalar("dag_build_min") else None
+      val buildMin = math.min(build, priorBuildMin.getOrElse(Double.MaxValue))
+      val tsMin = ts.map { case (n, v) =>
+        val prior = priorDagMin.get(n).filter(_ >= 0)
+        n -> (if (v >= 0) math.min(v, prior.getOrElse(Double.MaxValue)) else prior.getOrElse(-1.0))
+      }
+      (buildMin, tsMin)
+    }
 
     // Full detail → file (not stdout: would blow the driver's tail
     // capture). Partial runs (SPARK_GRAFT_ONLY dev subsets) must NOT
@@ -154,10 +246,12 @@ object Bench {
     // smoke once overwrote the sf0.1 record): the canonical name is
     // reserved for sf0.1; other SFs write a suffixed record.
     val dagJson = dagLane.map { case (b, ts) =>
-      s""","dag_build":${fmt(b)},"dag":${qmap(ts)}"""
+      val (bMin, tsMin) = dagMinJson.get
+      s""","dag_build":${fmt(b)},"dag_build_min":${fmt(bMin)},"dag":${qmap(ts)},"dag_min":${qmap(tsMin)}"""
     }.getOrElse("")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${qmap(results.map(r => (r._1, r._2)))},"min":${qmap(minMap)},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")}$dagJson,"sf":"$sfDir"}"""
-    if (only.isEmpty) {
+    val suiteJson = suite.map(su => s""","suite":"$su"""").getOrElse("")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"code":"$codeFp"$suiteJson,"queries":${qmap(results.map(r => (r._1, r._2)))},"min":${qmap(minMap)},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")}$dagJson,"sf":"$sfDir"}"""
+    if (record) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullName), full + "\n")
       catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $fullName write failed: ${e.getMessage}") }
     } else System.err.println(s"[bench] subset run (${results.size} queries): BENCH_FULL.json left untouched")
@@ -180,8 +274,8 @@ object Bench {
     // min_total = Σ per-query minima across the round's full runs —
     // the storm-resistant comparable (a single run's total conflates
     // plan cost with whatever the host was doing that quarter hour)
-    val minTotal = if (only.isEmpty) s""","min_total":${fmt(minMap.map(_._2).sum)}""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"BENCH_FULL.json"$minTotal,"queries":${qmap(top)}$dagJson,"sf":"$sfDir"}""")
+    val minTotal = if (record) s""","min_total":${fmt(minMap.map(_._2).sum)}""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"$fullName"$minTotal,"queries":${qmap(top)}$dagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -477,7 +477,9 @@ object DedupOps {
       .localCheckpoint(true)
     var converged = false
     var rounds    = 0
+    val tStart    = System.nanoTime()
     while (!converged && rounds < maxIter) {
+      val tRound = System.nanoTime()
       val viaNeighbors = edges
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .select(col("src").as("node"), col("lbl"))
@@ -496,8 +498,14 @@ object DedupOps {
         .isEmpty
       labels = next
       rounds += 1
+      // One tiny line per pointer-jump round: the O(log n) claim's
+      // measured evidence at WHATEVER scale the caller runs (VERDICT
+      // r8 #4 — rounds and per-round cost from the bench run itself,
+      // not just the sf0.001 spec fixture).
+      System.err.println(f"[cc] round=$rounds%d converged=$converged%b ${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    System.err.println(f"[cc] total rounds=$rounds%d ${(System.nanoTime() - tStart) / 1e9}%.2fs")
     (labels, rounds)
   }
 

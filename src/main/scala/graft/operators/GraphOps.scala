@@ -207,6 +207,18 @@ object GraphOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node").cast("long"))
       .localCheckpoint(true)
+    // Node ids must CAST to longs — a non-numeric id (e.g. the
+    // 'c:1'-style string ids elsewhere in this file) casts to NULL,
+    // which the label join then silently drops, corrupting every round
+    // (ADVICE r8). Fail loudly instead; the probe rides the already-
+    // eager seed checkpoint, so it costs one |V| scan. Any numeric
+    // value is fine: negation is order-reversing over the whole long
+    // range, so the max(struct(cnt, -label)) tie-break picks the
+    // minimum label for 0/negative ids too.
+    val badIds = labels.filter(col("label").isNull).limit(1).count()
+    require(badIds == 0,
+      "labelPropagation: node ids must cast to longs; found NULL after cast — " +
+        "map string ids to longs (e.g. dense rank or xxhash64) first")
     for (_ <- 1 to iterations) {
       val next = lpaRound(edges, labels).localCheckpoint(true)
       dropCheckpoint(labels)
