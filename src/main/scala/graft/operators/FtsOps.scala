@@ -83,9 +83,7 @@ object FtsOps {
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val contrib = idf * (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bm25_exact").desc, col(idCol).asc)
-    matched
+    val scored = matched
       .join(broadcast(docFreq), Seq("term"))
       .join(lengths, Seq(idCol))
       .crossJoin(broadcast(stats))
@@ -94,10 +92,14 @@ object FtsOps {
         count(lit(1)).as("n_hits"),
         sum(contrib.cast(DecimalType(18, 6))).as("bm25_exact")
       )
-      // global ranking window: the matched-doc set is query-bounded
-      // (docs containing >=1 query term); for corpus-wide scoring jobs
-      // rank per partition key instead
-      .withColumn("rank", row_number().over(w).cast("long"))
+    // The matched-doc set grows with the corpus (every doc holding >=1
+    // query term) — the GlobalWindowAudit sf0.1->sf1 run measured it at
+    // 9.8x over 10x data, the fleet's ONE genuinely unbounded ranking —
+    // so the global rank is computed distributed (range partition +
+    // per-partition offsets), never through a single-partition window.
+    // Total order: exact decimal score desc, unique doc id asc.
+    WindowOps.distributedRowNumber(scored,
+      Seq(col("bm25_exact").desc, col(idCol).asc), "rank")
       .select(col(idCol), col("n_hits"),
         round(col("bm25_exact").cast("double"), 4).as("bm25"), col("rank"))
   }

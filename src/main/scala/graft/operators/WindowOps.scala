@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -119,5 +119,43 @@ object WindowOps {
     val a    = my - beta * mx
     val res  = y - (a + beta * x)
     (beta, a, res)
+  }
+
+  /** Exact global `row_number` over an UNBOUNDED frame, without the
+    * single-partition WindowExec a bare `Window.orderBy` costs. For
+    * calendar-bounded frames (the header invariant) the plain global
+    * window is correct and cheaper; use THIS when the ranked set grows
+    * with the corpus — the GlobalWindowAudit sf0.1→sf1 run caught
+    * exactly one such site (FTS search ranking: matched docs ×9.8 over
+    * 10× data) and this is its scale path.
+    *
+    * Classic distributed ranking: range-repartition on the order key
+    * (so partition p's rows all precede partition p+1's), rank WITHIN
+    * each partition in parallel, then add per-partition row-count
+    * offsets (numPartitions driver-side rows, broadcast back as a
+    * literal map). `order` must be a TOTAL order (include a unique
+    * tie-break column) — that's also what makes the result
+    * deterministic. Two passes over `df`, both fully parallel; the
+    * input is persisted across them and unpersisted before return.
+    */
+  def distributedRowNumber(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // pass 1: per-partition row counts -> exclusive prefix offsets
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetOf = map((0 until parts).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*)
+    // pass 2: parallel per-partition ranking + offset. `ranged` stays
+    // persisted — the result is lazy and pass 2 reads the cache when
+    // the caller executes it; per-query clearCache reclaims it (the
+    // fleet convention for internal persists).
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged
+      .withColumn(rankCol, row_number().over(w).cast("long") + element_at(offsetOf, col("__pid")))
+      .drop("__pid")
   }
 }

@@ -77,12 +77,17 @@ object AgentQueries {
   // agent_technical_signal_history (ref, 56 LoC)
   // ------------------------------------------------------------------
 
-  private def signalHistory(s: SparkSession, dir: String): DataFrame = {
+  private def signalHistory(s: SparkSession, dir: String): DataFrame =
     // persisted: both grain branches aggregate the same instance frame
     // — without the cache the whole signal-instance pipeline (bars →
     // indicators → events → forward joins) runs twice
-    val inst = MiscModelQueries.signalInstances(s, dir).persist()
+    signalHistoryFrom(MiscModelQueries.signalInstances(s, dir).persist())
 
+  /** signal_history from an already-derived instance frame — the
+    * DAG-lane read path (materialized `mart_signal_instances`, where
+    * the two grain branches each scan the durable table at parquet
+    * cost, no persist needed). */
+  private[queries] def signalHistoryFrom(inst: DataFrame): DataFrame = {
     def branch(grain: String, symExpr: Column): DataFrame =
       inst
         .groupBy(

@@ -310,7 +310,15 @@ object MiscModelQueries {
   private val Horizons     = Seq(1, 5, 10, 21, 63, 126)
   private val ExcursionBars = 21
 
-  def signalInstances(s: SparkSession, dir: String): DataFrame = {
+  def signalInstances(s: SparkSession, dir: String): DataFrame =
+    signalInstancesFrom(s, dir, TechnicalSignalQueries.signalEvents(s, dir))
+
+  /** signal_instances from an already-derived signal-events frame —
+    * the DAG-lane read path (materialized `mart_signal_events`), so
+    * the indicator/event pipeline is built once per session, not once
+    * per consumer. The forward-return spine still derives from bars. */
+  private[queries] def signalInstancesFrom(
+      s: SparkSession, dir: String, events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("d"))
     val fEx = w.rowsBetween(1, ExcursionBars)
     val spine = ModelQueries.bars(s, dir)
@@ -326,7 +334,7 @@ object MiscModelQueries {
           (col(s"fwd_close_$h") / when(col("close") =!= 0, col("close")) - 1)
             .as(s"spy_fwd_return_$h")): _*)
 
-    val triggers = TechnicalSignalQueries.signalEvents(s, dir)
+    val triggers = events
       .filter(col("signal_state") === "triggered")
       .select(col("symbol").as("t_sym"), col("d").as("entry_date"),
         col("indicator_name"), col("signal_name"), col("signal_side"),

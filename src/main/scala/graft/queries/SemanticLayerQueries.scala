@@ -64,7 +64,7 @@ object SemanticLayerQueries {
     * de-duplicates the expensive universe aggregation across the
     * class slices, and an outer cache would force every pruned window
     * column to materialize (measured 26 s vs 7.8 s at sf0.1). */
-  private def layerAr(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def layerAr(s: SparkSession, dir: String): DataFrame = {
     val equity = Seq(
       (concat(lit("SP_"), col("l_suppkey") % 100), "NYSE"),
       (concat(lit("SECT_"), col("l_returnflag")), "NYSEARCA"),
@@ -151,37 +151,42 @@ object SemanticLayerQueries {
         concat(lit("supp_"), col("l_suppkey") % 23), "'supp_' || CAST(l_suppkey % 23 AS VARCHAR)"))
   }
 
+  /** asset_daily_returns from an already-derived analysis-returns
+    * layer frame — the DAG-lane read path (materialized
+    * `mart_analysis_returns_layer`); the isolated query hands it
+    * [[layerAr]] directly. */
+  private[queries] def assetDailyReturnsFrom(ar: DataFrame): DataFrame = {
+    val stocks = ar.filter(col("symbol").startsWith("SP_"))
+      .select(assetCols("stock", "stock_symbol"): _*)
+    val sectors = ar.filter(col("symbol").startsWith("SECT_"))
+      .select(assetCols("sector_etf", "sector_etf_symbol"): _*)
+    val factors = ar.filter(col("symbol").startsWith("FAC_"))
+      .select(assetCols("factor_etf", "factor_etf_symbol"): _*)
+    val commodities = ar.filter(col("symbol").startsWith("IN_"))
+      .withColumnRenamed("symbol", "commodity_name")
+      .withColumnRenamed("exchange", "commodity_unit")
+      .select(
+        concat(lit("commodity:"), col("commodity_name"), lit(":"), col("commodity_unit")).as("asset_key"),
+        lit("commodity").as("asset_class"),
+        col("commodity_name").as("asset_id"),
+        col("commodity_name").as("asset_name"),
+        nullS.as("symbol"), nullS.as("stock_symbol"),
+        nullS.as("sector_etf_symbol"), nullS.as("factor_etf_symbol"),
+        col("commodity_name"), col("commodity_unit"),
+        nullS.as("exchange"),
+        col("date").as("trade_date"),
+        col("current_price"), col("std_diff_1yr"), col("pct_change_1yr"))
+    val unioned = stocks.unionByName(sectors).unionByName(factors).unionByName(commodities)
+    qualifyRowNumber(unioned,
+      Window.partitionBy(col("asset_key"), col("trade_date"))
+        .orderBy(col("current_price").desc_nulls_last))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // asset_daily_returns.sql: the cross-class union + QUALIFY dedup.
     QueryDef(
       "q_asset_daily_returns",
-      (s, dir) => {
-        val ar = layerAr(s, dir)
-        val stocks = ar.filter(col("symbol").startsWith("SP_"))
-          .select(assetCols("stock", "stock_symbol"): _*)
-        val sectors = ar.filter(col("symbol").startsWith("SECT_"))
-          .select(assetCols("sector_etf", "sector_etf_symbol"): _*)
-        val factors = ar.filter(col("symbol").startsWith("FAC_"))
-          .select(assetCols("factor_etf", "factor_etf_symbol"): _*)
-        val commodities = ar.filter(col("symbol").startsWith("IN_"))
-          .withColumnRenamed("symbol", "commodity_name")
-          .withColumnRenamed("exchange", "commodity_unit")
-          .select(
-          concat(lit("commodity:"), col("commodity_name"), lit(":"), col("commodity_unit")).as("asset_key"),
-          lit("commodity").as("asset_class"),
-          col("commodity_name").as("asset_id"),
-          col("commodity_name").as("asset_name"),
-          nullS.as("symbol"), nullS.as("stock_symbol"),
-          nullS.as("sector_etf_symbol"), nullS.as("factor_etf_symbol"),
-          col("commodity_name"), col("commodity_unit"),
-          nullS.as("exchange"),
-          col("date").as("trade_date"),
-          col("current_price"), col("std_diff_1yr"), col("pct_change_1yr"))
-        val unioned = stocks.unionByName(sectors).unionByName(factors).unionByName(commodities)
-        qualifyRowNumber(unioned,
-          Window.partitionBy(col("asset_key"), col("trade_date"))
-            .orderBy(col("current_price").desc_nulls_last))
-      },
+      (s, dir) => assetDailyReturnsFrom(layerAr(s, dir)),
       Some(s"""
         WITH stocks AS (SELECT ${assetColsSql("stock", "stock_symbol")} FROM ($sp500Sql)),
         sector_etfs AS (SELECT ${assetColsSql("sector_etf", "sector_etf_symbol")} FROM ($usSectorSql)),

@@ -423,10 +423,17 @@ object TechnicalSignalQueries {
   // technical_current_setups — latest bar per symbol, 14-day staleness
   // ------------------------------------------------------------------
 
-  def currentSetups(s: SparkSession, dir: String): DataFrame = {
+  def currentSetups(s: SparkSession, dir: String): DataFrame =
     // persisted: referenced by the latest-bar derivation AND the final
     // join — the indicator/event pipeline must not run twice
-    val events = signalEvents(s, dir).persist()
+    currentSetupsFrom(s, dir, signalEvents(s, dir).persist())
+
+  /** current_setups from an already-derived signal-events frame — the
+    * DAG-lane read path (materialized `mart_signal_events`; both
+    * references scan the durable table). Only the one-row max-date
+    * spine still derives from `(s, dir)`. */
+  private[queries] def currentSetupsFrom(
+      s: SparkSession, dir: String, events: DataFrame): DataFrame = {
     val maxD = Tables(s, dir).lineitem.agg(max(to_date(col("l_shipdate"))).as("__maxd"))
     val latest = events.groupBy(col("symbol").as("lb_sym")).agg(max(col("d")).as("latest_date"))
       .crossJoin(broadcast(maxD))

@@ -82,4 +82,83 @@ class GraphSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!capped.contains("e") && capped("d") == 2L, s"hop bound must cut e: $capped")
   }
+
+  // ------------------------------------------------------------------
+  // Randomized cross-checks vs brute-force in-memory references
+  // (VERDICT r8 #6) — the discipline triangleCounts already has.
+  // ------------------------------------------------------------------
+
+  /** Brute-force synchronous LPA: same semantics as
+    * [[GraphOps.labelPropagation]] — undirected deduped edges, labels
+    * seeded with node ids, each round every node takes the most
+    * frequent neighbor label with ties broken by MIN label. */
+  private def lpaRef(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = pairs.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    val nodes = adj.keySet
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = nodes.map { n =>
+        val counts = adj(n).groupMapReduce(labels)(_ => 1L)(_ + _)
+        // max count, then min label — the engine's max(struct(cnt, -label))
+        n -> counts.maxBy { case (lab, c) => (c, -lab) }._1
+      }.toMap
+    }
+    labels
+  }
+
+  /** Brute-force BFS: min hop distance from `source` within maxHops
+    * over the directed deduped edge list. */
+  private def bfsRef(edges: Seq[(String, String)], source: String, maxHops: Int): Map[String, Long] = {
+    val adj = edges.distinct.groupMap(_._1)(_._2)
+    var dist = Map(source -> 0L)
+    var frontier = Set(source)
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil)).filterNot(dist.contains)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("label propagation matches a brute-force reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val n = 6 + rnd.nextInt(15)
+      val p = 0.10 + rnd.nextDouble() * 0.20
+      val pairs = (for {
+        a <- 1L to n.toLong; b <- 1L to n.toLong
+        if a < b && rnd.nextDouble() < p
+      } yield (a, b)) ++ Seq((1L, 2L)) // never empty
+      val iters = 1 + rnd.nextInt(4)
+      val want = lpaRef(pairs, iters)
+      val got = GraphOps.labelPropagation(pairs.toDF("a", "b"), "a", "b", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"trial $trial (n=$n, |E|=${pairs.size}, iters=$iters): engine ${got.toSeq.sorted} vs ref ${want.toSeq.sorted}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("bounded BFS matches a brute-force reference on random digraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 8) {
+      val n = 6 + rnd.nextInt(15)
+      val p = 0.08 + rnd.nextDouble() * 0.20
+      val edges = (for {
+        a <- 1 to n; b <- 1 to n
+        if a != b && rnd.nextDouble() < p
+      } yield (s"v$a", s"v$b")) ++ Seq(("v1", "v2")) // source always has an out-edge
+      val hops = 1 + rnd.nextInt(5)
+      val want = bfsRef(edges, "v1", hops)
+      val got = GraphOps.boundedBfs(edges.toDF("src", "dst"), "v1", hops)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"trial $trial (n=$n, |E|=${edges.size}, hops=$hops): engine ${got.toSeq.sorted} vs ref ${want.toSeq.sorted}")
+      spark.catalog.clearCache()
+    }
+  }
 }

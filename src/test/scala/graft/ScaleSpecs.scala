@@ -114,6 +114,28 @@ class ScaleSpecs extends AnyFunSuite with BeforeAndAfterAll {
       s"xx missed high-sim pairs: ${truthHigh -- xxPairs}")
   }
 
+  test("distributedRowNumber equals the single-partition global rank, without the single-partition window") {
+    import graft.operators.WindowOps
+    import org.apache.spark.sql.expressions.Window
+    // skewed scores with exact ties — the unique id tie-break must make
+    // the distributed rank bit-identical to the global-window rank
+    val df = (1 to 500).map(i => (i.toLong, (i % 37).toDouble)).toDF("id", "score")
+    val order = Seq(col("score").desc, col("id").asc)
+    val want = df.withColumn("rank",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(order: _*)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = WindowOps.distributedRowNumber(df, order, "rank")
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotMap == want)
+    // the scale point: NO unpartitioned window in the optimized plan
+    val globals = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "distributedRowNumber must not plan a single-partition window")
+    spark.catalog.clearCache()
+  }
+
   test("fleet audit: no CartesianProduct in any registry query plan (VERDICT r7 #3)") {
     // The round-7 one-off audit ("zero CartesianProduct across all
     // registry plans", SCALE.md §1) as a STANDING gate: every
