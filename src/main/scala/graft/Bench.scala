@@ -64,10 +64,7 @@ object Bench {
     // runs the named shuffle-heavy subset (plus the DAG lane) and DOES
     // record a suffixed BENCH_FULL_<sf>.json — the sf1 evidence run.
     val suite = sys.env.get("SPARK_GRAFT_SUITE")
-    val suiteSet: Option[Set[String]] = suite.map {
-      case "scale" => ScaleSuite.names
-      case other   => sys.error(s"unknown SPARK_GRAFT_SUITE '$other' (know: scale)")
-    }
+    val suiteSet: Option[Set[String]] = suite.map(ScaleSuite.forSuite)
     val selected: Option[Set[String]] = only.orElse(suiteSet)
     // Full-record runs: everything except ad-hoc ONLY subsets.
     val record = only.isEmpty

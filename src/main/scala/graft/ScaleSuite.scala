@@ -8,6 +8,17 @@ package graft
   * scaling actually needs evidence, not the 300-query long tail.
   */
 object ScaleSuite {
+  /** The 100× (sf10) leg drops the 16-bit fixture SimHash: its
+    * 16-bucket bands make candidate volume quadratic in the corpus
+    * (measured 5.9× wall over the 10× leg — the documented reason the
+    * production path is `q_simhash64_neardup_pairs`, which stays in).
+    * Everything else is expected to hold its sub-linear wall growth. */
+  def forSuite(name: String): Set[String] = name match {
+    case "scale"   => names
+    case "scale10" => names - "q_simhash_neardup_pairs"
+    case other     => sys.error(s"unknown SPARK_GRAFT_SUITE '$other' (know: scale, scale10)")
+  }
+
   val names: Set[String] = Set(
     // baselines: scan+star-join and keyed-window cost at the new SF
     "q_join_star_region_revenue",
@@ -17,6 +28,7 @@ object ScaleSuite {
     "q_minhash_neardup_pairs",
     "q_neardup_dedup_corpus",
     "q_simhash_neardup_pairs",
+    "q_simhash64_neardup_pairs",
     "q_ngram_jaccard_pairs",
     "q_semantic_dedup",
     // fuzzy blocking + iterative closure

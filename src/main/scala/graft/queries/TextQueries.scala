@@ -620,6 +620,66 @@ object TextQueries {
       """
       }
     ),
+    // Production-parameter 64-bit SimHash near-dup pairs
+    // (DedupOps.simhash64NearDupPairs): 4×16-bit bands, 65 536
+    // buckets/band — the scale path the 16-bit fixture variant's
+    // scaladoc promises. Exact recall for hamming <= 3 by pigeonhole.
+    QueryDef(
+      "q_simhash64_neardup_pairs",
+      (s, dir) =>
+        DedupOps.simhash64NearDupPairs(T(s, dir).documents, "doc_id", "text", maxHamming = 3),
+      Some {
+        // bit j of band b ← bit (j%4) of hex digit (4b + j/4 + 1);
+        // a digit votes +1 for bit k iff (digit >> k) & 1 = 1.
+        val votes = (for (b <- 0 until 4; j <- 0 until 16) yield {
+          val pos = 4 * b + j / 4 + 1
+          val k   = j % 4
+          val set = (0 until 16)
+            .filter(v => ((v >> k) & 1) == 1)
+            .map(v => s"'${v.toHexString}'")
+            .mkString(",")
+          s"""list_sum(list_transform(t, x -> CASE WHEN substr(md5(x), $pos, 1) IN ($set) THEN 1 ELSE -1 END)) AS v${b}_$j"""
+        }).mkString(",\n          ")
+        val bandCols = (0 until 4)
+          .map { b =>
+            val bits = (0 until 16)
+              .map(j => s"(CASE WHEN v${b}_$j > 0 THEN ${1L << j} ELSE 0 END)")
+              .mkString(" + ")
+            s"CAST($bits AS BIGINT) AS b$b"
+          }
+          .mkString(",\n          ")
+        s"""
+        WITH $tokSql,
+        votes AS (
+          SELECT doc_id,
+          $votes
+          FROM toks
+        ),
+        sh AS (
+          SELECT doc_id,
+          $bandCols
+          FROM votes
+        ),
+        bands AS (
+          SELECT doc_id, b0, b1, b2, b3, b,
+            CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS v
+          FROM sh, UNNEST([0, 1, 2, 3]) AS t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+          CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+             + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sh sa ON c.id_a = sa.doc_id
+        JOIN sh sb ON c.id_b = sb.doc_id
+        WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+            + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= 3
+      """
+      }
+    ),
     // Thread-structure metrics (reddit_thread_structure.sql: parent_id
     // prefix 't3_' = top-level, depth, reply chains): orders as posts,
     // lineitems as a comment chain ordered by (linenumber, partkey,
