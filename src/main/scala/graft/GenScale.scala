@@ -65,13 +65,24 @@ object GenScale {
           .otherwise(w)),
       " ")
 
-  /** Circular dimension shift by i*7 (mod 64): exact norm/geometry
-    * preservation within a replica, near-zero expected cosine across
-    * replicas for generic dense vectors. Identity at i=0. */
-  private def shiftVec(vec: Column, i: Int, dim: Int): Column = {
-    val k = (i * 7) % dim
-    if (k == 0) vec else concat(slice(vec, k + 1, dim - k), slice(vec, 1, k))
-  }
+  /** Per-replica orthogonal transform: circular dimension shift by i*7
+    * (mod dim) composed with a per-replica deterministic ±1 sign-flip
+    * pattern. Both preserve norms and all WITHIN-replica inner products
+    * exactly (⟨s⊙u, s⊙v⟩ = ⟨u,v⟩ for a fixed sign vector s), while
+    * decorrelating replicas. The sign-flip matters above k=dim: a pure
+    * shift cycles mod dim, so at k=100 replicas i and i+64 would carry
+    * IDENTICAL point sets — an exact-duplicate artifact that would
+    * inflate the embedding-family pair counts at the 100× leg. The
+    * signs are keyed by xxhash64(i, dim-index), so all k transforms are
+    * distinct. Identity at i=0. */
+  private def shiftVec(vec: Column, i: Int, dim: Int): Column =
+    if (i == 0) vec
+    else {
+      val k = (i * 7) % dim
+      val shifted = if (k == 0) vec else concat(slice(vec, k + 1, dim - k), slice(vec, 1, k))
+      transform(shifted, (x, j) =>
+        when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x).cast("float"))
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
