@@ -19,9 +19,16 @@ object Bench {
     // shuffle partitions); SPARK_GRAFT_CPUS still overrides for
     // constrained dev shells.
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle width scales with DATA, not cores (SCALE.md §6 #1): at
+    // the canonical sf0.1 the 32 default keeps partitions ≈ cores, but
+    // the 100× (sf10) leg needs wider shuffles so the widest operator's
+    // per-task sort state (ER's 150M-row variant self-join) stays
+    // spill-friendly instead of GC-fatal inside one fixed-heap JVM —
+    // on a real cluster this is the same knob tuned per job.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -68,6 +75,7 @@ object Bench {
     val selected: Option[Set[String]] = only.orElse(suiteSet)
     // Full-record runs: everything except ad-hoc ONLY subsets.
     val record = only.isEmpty
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timed(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       // Attributable per-query numbers: caches cleared and a full GC
       // forced BEFORE the clock starts, so one query's garbage (or
@@ -81,6 +89,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          failed += name
+          // A dead context turns every later query into an instant
+          // no-op "timing" and would poison the record AND its min map
+          // (observed: an executor OOM at the sf10 leg shut the context
+          // down mid-suite and 17 queries "ran" in 30 ms). Nothing
+          // measured after this point means anything — abort loudly.
+          if (spark.sparkContext.isStopped) {
+            System.err.println(s"[bench] SparkContext is stopped — aborting; NO record written")
+            sys.exit(2)
+          }
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across measurements
@@ -183,9 +201,13 @@ object Bench {
       System.err.println(s"[bench] $fullName min map reset (main-source fingerprint changed)")
     val priorMin: Map[String, Double] =
       if (mergePrior) priorObj("min") else Map.empty
+    // A failed query's elapsed time is how long it took to DIE, not a
+    // cost — it must never tighten a minimum (the dag lane's -1
+    // discipline, applied to the query board).
     val minMap: Seq[(String, Double)] = results.map { case (name, _, _, curMin) =>
-      name -> math.min(curMin, priorMin.getOrElse(name, Double.MaxValue))
-    }
+      val cur = if (failed.contains(name)) Double.MaxValue else curMin
+      name -> math.min(cur, priorMin.getOrElse(name, Double.MaxValue))
+    }.filter(_._2 < Double.MaxValue)
 
     // DAG-mode lane (VERDICT r7 #1): build the shared mart chain ONCE
     // (Table-tier materializations in a scratch warehouse), then time
@@ -247,7 +269,10 @@ object Bench {
       s""","dag_build":${fmt(b)},"dag_build_min":${fmt(bMin)},"dag":${qmap(ts)},"dag_min":${qmap(tsMin)}"""
     }.getOrElse("")
     val suiteJson = suite.map(su => s""","suite":"$su"""").getOrElse("")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"code":"$codeFp"$suiteJson,"queries":${qmap(results.map(r => (r._1, r._2)))},"min":${qmap(minMap)},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")}$dagJson,"sf":"$sfDir"}"""
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"code":"$codeFp"$suiteJson$failedJson,"queries":${qmap(results.map(r => (r._1, r._2)))},"min":${qmap(minMap)},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")}$dagJson,"sf":"$sfDir"}"""
     if (record) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullName), full + "\n")
       catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $fullName write failed: ${e.getMessage}") }
@@ -272,7 +297,7 @@ object Bench {
     // the storm-resistant comparable (a single run's total conflates
     // plan cost with whatever the host was doing that quarter hour)
     val minTotal = if (record) s""","min_total":${fmt(minMap.map(_._2).sum)}""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"$fullName"$minTotal,"queries":${qmap(top)}$dagJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"$fullName"$minTotal$failedJson,"queries":${qmap(top)}$dagJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
