@@ -186,6 +186,38 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** The dense d×w cell vector of a built sketch, collected to the
+    * driver (index r·w + bucket; absent cells zero). BOUNDED BY
+    * CONSTRUCTION at d×w longs (the documented driver-side-collect
+    * family: PQ codebook, NMF vocab) — this is the "sketch fits in
+    * memory" property the data structure exists for. */
+  def cmsCells(sketch: DataFrame, d: Int, w: Int): Array[Long] = {
+    val cells = new Array[Long](d * w)
+    sketch.select(col("row").cast("int"), col("bucket").cast("int"), col("cnt").cast("long"))
+      .collect()
+      .foreach(r => cells(r.getInt(0) * w + r.getInt(1)) = r.getLong(2))
+    cells
+  }
+
+  /** Narrow-plan point estimator: the min-of-d CMS lookup as a COLUMN
+    * over a collected cell vector — one md5 + d integer multiply-adds
+    * + d `element_at`s into a single array literal per row. Unlike
+    * [[cmsEstimate]] (probe-side distinct + explode + broadcast join +
+    * re-group — three shuffles when the probe set is raw data), this
+    * adds ZERO exchanges: probe an already-aggregated key frame (e.g.
+    * the exact-count table it is being graded against) and the
+    * estimate rides along map-side. Identical integer arithmetic,
+    * identical estimates. */
+  def cmsLookupCol(cells: Array[Long], keyCol: Column, d: Int, w: Int): Column = {
+    require(cells.length == d * w, s"cell vector must be d*w = ${d * w}; got ${cells.length}")
+    val hex = md5(keyCol.cast("string"))
+    val h1 = hexFold32(hex, 0)
+    val h2 = hexFold32(hex, 8) % (w - 1) + 1L
+    val arr = lit(cells)
+    least((0 until d).map(r =>
+      element_at(arr, ((h1 + lit(r.toLong) * h2) % w + r * w + 1L).cast("int"))): _*)
+  }
+
   /** Priority sampling (Duffield, Lund, Thorup 2007): a weighted
     * size-k sample per group whose Horvitz–Thompson estimator
     * Σ max(w_i, τ) (τ = the (k+1)-th largest priority) is unbiased

@@ -379,11 +379,19 @@ object SketchQueries {
           SketchOps.cmsSketch(li.filter(col("sd") < to_date(mid)), "l_partkey", d, w)
             .unionByName(
               SketchOps.cmsSketch(li.filter(col("sd") >= to_date(mid)), "l_partkey", d, w)))
-        val est = SketchOps.cmsEstimate(sk, li, "l_partkey", d, w)
+        // Probe keys = the exact-count frame the estimates are graded
+        // against — already one row per key, so the estimate is a
+        // NARROW min-of-d lookup into the collected 4096-cell vector
+        // (SketchOps.cmsLookupCol). The old probe path re-scanned the
+        // 60M raw rows for a distinct, exploded ×d, broadcast-joined
+        // and re-grouped: three exchanges and two extra full scans
+        // that the 100× (sf10) leg showed dominating the query.
         val exact = li.groupBy(col("l_partkey"))
           .agg(count(lit(1)).as("true_count"))
+        val est = exact.withColumn("est_count",
+          SketchOps.cmsLookupCol(SketchOps.cmsCells(sk, d, w), col("l_partkey"), d, w))
         val wk = Window.orderBy(col("est_count").desc, col("l_partkey").asc)
-        est.join(exact, Seq("l_partkey"))
+        est
           .withColumn("__rn", row_number().over(wk))
           .filter(col("__rn") <= 25)
           .drop("__rn")

@@ -143,6 +143,19 @@ class SketchSpecs extends AnyFunSuite with BeforeAndAfterAll {
       SketchOps.cmsSketch(df, "k", d, w), Seq(424242).toDF("k"), "k", d, w)
       .collect().head.getLong(1)
     assert(probe >= 0L)
+
+    // the narrow-plan lookup column (collected cell vector +
+    // min-of-d element_at) returns bit-identical estimates to the
+    // broadcast-join estimator, including on an absent key
+    val cells = SketchOps.cmsCells(SketchOps.cmsSketch(df, "k", d, w), d, w)
+    val inlineEst = df.select(col("k")).distinct()
+      .withColumn("est_count", SketchOps.cmsLookupCol(cells, col("k"), d, w))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(inlineEst == est, "cmsLookupCol must equal cmsEstimate on every key")
+    val inlineProbe = Seq(424242).toDF("k")
+      .withColumn("est_count", SketchOps.cmsLookupCol(cells, col("k"), d, w))
+      .collect().head.getLong(1)
+    assert(inlineProbe == probe)
   }
 
   private def ssSummary(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, (Long, Long)] = {
