@@ -31,6 +31,11 @@ def main():
     offenders = []
     for q, ta, tb, r in rows:
         flag = " <-- OVER BAR" if r > max_ratio else ""
+        # A query that got much FASTER over more data is a measurement
+        # artifact, not a win (a warm training memo once recorded a
+        # 0.05x "ratio"). Warn, don't fail — sub-second queries jitter.
+        if r < 0.5 and ta > 1.0:
+            flag = " <-- SUSPICIOUS DROP (measurement artifact?)"
         if r > max_ratio:
             offenders.append((q, r))
         print(f"{q:55s} {ta:8.2f} {tb:8.2f} {r:6.2f}x{flag}")
