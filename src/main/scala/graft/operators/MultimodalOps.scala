@@ -12,12 +12,16 @@ import org.apache.spark.sql.types._
   * in pure JVM byte parsing — RIFF/WAVE 16-bit PCM
   * ([[decodeWavPcm16]], round-trip oracle-checked by
   * q_wav_decode_features) and 24-bit BITMAPINFOHEADER BMP
-  * ([[decodeBmp24]], spec-checked). Only CODEC formats (jpeg/mp3/
-  * h264) remain a clearly-marked deterministic STUB: their decoders
-  * need libraries absent from this container. Everything Spark-side —
-  * schema, batching shape, partitioning, content addressing — is real
-  * and tested; swapping the stub for a JNI/ONNX decoder changes no
-  * plan shape.
+  * ([[decodeBmp24]], spec-checked). JPEG (and PNG/GIF/TIFF) decode is
+  * ALSO real — the JDK's `javax.imageio` ships those codecs in the
+  * java.desktop module, no external library ([[decodeImageGridSums]],
+  * golden-pinned by q_jpeg_decode_features with an independent
+  * pure-python decoder leg, tools/check_jpeg.py). Only mp3/h264 remain
+  * a clearly-marked deterministic STUB: those codecs genuinely are
+  * absent from this container. Everything Spark-side — schema,
+  * batching shape, partitioning, content addressing — is real and
+  * tested; swapping the stub for a JNI/ONNX decoder changes no plan
+  * shape.
   */
 object MultimodalOps {
 
@@ -89,11 +93,13 @@ object MultimodalOps {
     }(Encoders.row(outSchema))
   }
 
-  /** STUB: stands in for COMPRESSED-format decode + feature extraction
-    * (jpeg/mp3/h264 need codec libraries absent from this container).
-    * Deterministic on content bytes so tests are stable. Uncompressed
-    * container formats are decoded for REAL below ([[decodeWavPcm16]],
-    * [[decodeBmp24]] — pure byte parsing, no codecs). */
+  /** STUB: stands in for mp3/h264 decode + feature extraction (the
+    * only codecs genuinely absent from this container — jpeg/png/gif
+    * ARE decoded for real via the JDK's ImageIO, see
+    * [[decodeImageGridSums]]). Deterministic on content bytes so tests
+    * are stable. Uncompressed container formats are decoded for REAL
+    * below ([[decodeWavPcm16]], [[decodeBmp24]] — pure byte parsing,
+    * no codecs). */
   private def decodeStub(bytes: Array[Byte], embDim: Int): (Seq[Float], Double) = {
     val emb = (0 until embDim).map { i =>
       if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f
@@ -326,5 +332,87 @@ object MultimodalOps {
       y += 1
     }
     Some(BmpFeatures(w, height, bpp, sr, sg, sb))
+  }
+
+  // -------------------------------------------------------------------
+  // REAL JPEG decode via the JDK's ImageIO (VERDICT r9 #3: the
+  // java.desktop module ships baseline JPEG/PNG/GIF/TIFF codecs — no
+  // external library). The decoder is deterministic for a fixed JDK;
+  // q_jpeg_decode_features pins its output with stored goldens AND an
+  // independent pure-python baseline-JPEG decoder (tools/check_jpeg.py)
+  // that re-decodes the committed fixture bytes within a measured
+  // tolerance — the check_numeric discipline applied to a codec.
+
+  /** Encode a width×height 8-bit grayscale image as baseline JPEG at
+    * an explicit quality (MODE_EXPLICIT keeps the quant tables, and so
+    * the bytes, deterministic for a fixed JDK). Single-component JPEG:
+    * no chroma subsampling, which keeps the independent python decoder
+    * leg honest and small. */
+  def synthesizeJpegGray(width: Int, height: Int, gray: (Int, Int) => Int,
+      quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL compressed-image decode: ImageIO (JPEG/PNG/GIF/TIFF/BMP per
+    * the JDK's registered readers) → exact integer 1000×luma
+    * (299r+587g+114b; = 1000×gray for grayscale) sums per
+    * (gridW × gridH) cell, same cell convention as
+    * [[bmpGrayGridSums]] so [[dhashBits]] composes unchanged. Returns
+    * None for undecodable bytes or grid-indivisible dimensions (the
+    * caller falls back to the stub). */
+  def decodeImageGridSums(bytes: Array[Byte], gridW: Int, gridH: Int): Option[Array[Long]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w % gridW != 0 || h % gridH != 0) return None
+    val cw    = w / gridW
+    val ch    = h / gridH
+    val cells = new Array[Long](gridW * gridH)
+    // Single-band (grayscale) images read RAW raster samples: getRGB
+    // would route a TYPE_BYTE_GRAY image through the linear-gray →
+    // sRGB color conversion (a gamma curve — measured ~73 gray levels
+    // of systematic shift), which is a display transform, not the
+    // decoded sample. Multi-band images are already sRGB; getRGB is a
+    // pass-through there.
+    val gray1 = img.getRaster.getNumBands == 1
+    var y     = 0
+    while (y < h) {
+      val cy = y / ch
+      var x  = 0
+      while (x < w) {
+        val luma =
+          if (gray1) 1000L * img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          }
+        cells(cy * gridW + x / cw) += luma
+        x += 1
+      }
+      y += 1
+    }
+    Some(cells)
   }
 }

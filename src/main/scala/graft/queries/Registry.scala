@@ -30,7 +30,7 @@ object Registry {
       CurationQueries.defs ++ SketchQueries.defs ++ OlapQueries.defs ++
       GraphQueries.defs ++ ModelDagQueries.defs ++ DataPointQueries.defs ++
       ScaleJoinQueries.defs ++ EmbeddingQueries.defs ++ BpeQueries.defs ++
-      ClassifierQueries.defs ++ ImageDedupQueries.defs ++ FuzzyJoinQueries.defs ++
+      ClassifierQueries.defs ++ ImageDedupQueries.defs ++ JpegQueries.defs ++ FuzzyJoinQueries.defs ++
       EventAnalyticsQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
