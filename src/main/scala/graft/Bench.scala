@@ -76,7 +76,7 @@ object Bench {
     // Full-record runs: everything except ad-hoc ONLY subsets.
     val record = only.isEmpty
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timed(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    def timed(name: String, fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
       // Attributable per-query numbers: caches cleared and a full GC
       // forced BEFORE the clock starts, so one query's garbage (or
       // leaked cache) can't bleed into its alphabetical neighbor.
@@ -86,23 +86,25 @@ object Bench {
       // Failures surface on stderr (ADVICE r8: a swallowed exception
       // must not masquerade as a normal timing) but keep the elapsed
       // number — correctness has its own gate; the bench's job is time.
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
-          failed += name
-          // A dead context turns every later query into an instant
-          // no-op "timing" and would poison the record AND its min map
-          // (observed: an executor OOM at the sf10 leg shut the context
-          // down mid-suite and 17 queries "ran" in 30 ms). Nothing
-          // measured after this point means anything — abort loudly.
-          if (spark.sparkContext.isStopped) {
-            System.err.println(s"[bench] SparkContext is stopped — aborting; NO record written")
-            sys.exit(2)
-          }
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+            failed += name
+            // A dead context turns every later query into an instant
+            // no-op "timing" and would poison the record AND its min map
+            // (observed: an executor OOM at the sf10 leg shut the context
+            // down mid-suite and 17 queries "ran" in 30 ms). Nothing
+            // measured after this point means anything — abort loudly.
+            if (spark.sparkContext.isStopped) {
+              System.err.println(s"[bench] SparkContext is stopped — aborting; NO record written")
+              sys.exit(2)
+            }
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across measurements
-      dt
+      (dt, ok)
     }
     // Slow-list entries get median-of-3 (VERDICT r6 #7): a single
     // sample on a >4 s query conflates plan cost with residual JIT /
@@ -116,16 +118,31 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val first = timed(name, fn)
-        if (first <= MedianFloorSec) (name, first, 1, first)
-        else {
+        val (first, ok1) = timed(name, fn)
+        if (first <= MedianFloorSec || !ok1) {
+          // Failure handling per sample (ADVICE r9 #3): a sample that
+          // died contributes its death timing to the reported value
+          // (the "failed" array flags it) but NEVER to the min map.
+          (name, first, 1, if (ok1) first else Double.MaxValue)
+        } else {
           // Re-samples must re-pay any driver-side training the query
           // does: the per-dir training memos survive clearCache, so
           // without this a >4 s training query's re-samples measure the
-          // memo (~0.1 s) and the MEDIAN becomes the artifact.
-          def resample(): Double = { graft.queries.QueryMemos.clearTraining(); timed(name, fn) }
-          val samples = Seq(first, resample(), resample()).sorted
-          (name, samples(1), 3, samples.head)
+          // memo (~0.1 s) and the MEDIAN becomes the artifact. The
+          // clear is scoped to the memos THIS query's family owns
+          // (ADVICE r9 #1: an unscoped clear silently re-trained other
+          // families' warm members on their own re-samples).
+          def resample(): (Double, Boolean) =
+            { graft.queries.QueryMemos.clearTraining(name); timed(name, fn) }
+          val samples = Seq((first, ok1), resample(), resample())
+          val okTimes = samples.filter(_._2).map(_._1).sorted
+          // Median over SUCCESSFUL samples only — a death timing mixed
+          // into the median is a measurement artifact. If every sample
+          // died, report the first death timing (the failed array +
+          // absent min row carry the real signal).
+          val med = if (okTimes.nonEmpty) okTimes((okTimes.length - 1) / 2) else first
+          val curMin = if (okTimes.nonEmpty) okTimes.head else Double.MaxValue
+          (name, med, samples.count(_._2), curMin)
         }
       }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -206,12 +223,12 @@ object Bench {
       System.err.println(s"[bench] $fullName min map reset (main-source fingerprint changed)")
     val priorMin: Map[String, Double] =
       if (mergePrior) priorObj("min") else Map.empty
-    // A failed query's elapsed time is how long it took to DIE, not a
-    // cost — it must never tighten a minimum (the dag lane's -1
-    // discipline, applied to the query board).
+    // A failed SAMPLE's elapsed time is how long it took to DIE, not a
+    // cost — it never tightens a minimum (curMin is MaxValue unless at
+    // least one sample succeeded; ADVICE r9 #3: a query that succeeded
+    // first and died on a re-sample keeps its valid first-sample min).
     val minMap: Seq[(String, Double)] = results.map { case (name, _, _, curMin) =>
-      val cur = if (failed.contains(name)) Double.MaxValue else curMin
-      name -> math.min(cur, priorMin.getOrElse(name, Double.MaxValue))
+      name -> math.min(curMin, priorMin.getOrElse(name, Double.MaxValue))
     }.filter(_._2 < Double.MaxValue)
 
     // DAG-mode lane (VERDICT r7 #1): build the shared mart chain ONCE

@@ -110,6 +110,17 @@ object ErProbe {
         graft.operators.DedupOps.connectedComponentsWithRounds(pairs, "rid_a", "rid_b"))
     println(s"PROBE cc rounds = $ccRounds, labeled nodes = ${labels.count()}")
 
+    // A/B: the narrow pair path (VERDICT r9 #1 fix) — only (rid, vfp)
+    // rides the exchange, strings re-join onto the candidate set.
+    pairs.unpersist()
+    vt.unpersist()
+    val narrow = graft.operators.FuzzyJoinOps
+      .symspellSelfPairs(records, "rid", "name", "rid_a", "rid_b")
+    val narrowPlan = narrow.queryExecution.executedPlan.toString
+    println(s"PROBE narrow plan reuses exchange = ${narrowPlan.contains("ReusedExchange")}")
+    val nNarrow = t("NARROW verified pairs (A/B)")(narrow.count())
+    println(s"PROBE narrow pairs = $nNarrow (old path = $nPairs)")
+
     val ents = t("final entity aggregation")({
       records
         .join(labels.select(col("node").as("rid"), col("lbl")), Seq("rid"), "left")

@@ -112,4 +112,58 @@ object FuzzyJoinOps {
       .filter(col("dist") <= maxDist)
       .distinct()
   }
+
+  /** Undirected verified pair set (key_a < key_b) of the self fuzzy
+    * join — the entity-resolution input shape — generated through a
+    * NARROW variant index that does not carry the string through the
+    * big exchange.
+    *
+    * Why this exists (VERDICT r9 #1, the sf1→sf10 adjudication): the
+    * ErProbe measurements show the operator's algorithmic quantities
+    * are exactly linear — 38.90 candidate occurrences and 0.709
+    * verified pairs per record, max fingerprint multiplicity 8/10/12,
+    * at sf0.1/sf1/sf10 alike — but [[symspellSelfJoin]]'s wall grew
+    * super-linearly on the second decade because the persisted,
+    * name-carrying variant table (145.5 M rows × ~60 B at sf10) and
+    * the sort-merge self-join competed for one fixed heap: persist
+    * 4.3→85.9 s and join 16.5→183.8 s over 10× data. The exchange is
+    * the cost driver, so this path ships only (key, fingerprint)
+    * through it — ~3× narrower — defers the distinct to the (a<b)
+    * HALVED candidate pair set (~0.8/record, measured), and re-joins
+    * the strings onto that linear-sized pair table for the
+    * levenshtein verify. Exactness is unchanged: dist is a function
+    * of the pair's strings, so distinct-then-verify equals
+    * verify-then-distinct, and dropping the (b>a) orientation loses
+    * nothing an undirected consumer (connected components) uses.
+    * Equivalence to the [[symspellSelfJoin]]-derived pair set is
+    * spec-gated (FuzzyJoinSpecs). */
+  def symspellSelfPairs(
+      df: DataFrame,
+      key: String,
+      str: String,
+      aKey: String, bKey: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1, "depth-1 deletion neighborhood is exact only for levenshtein <= 1")
+    val recs = df.select(col(key), col(str))
+    // Persisted NARROW index: two 8-byte-ish columns instead of the
+    // r8 name-carrying cache (measured the sf10 heap hog — 85.9 s to
+    // materialize). ReuseExchange does NOT fire across the two aliased
+    // join sides here (measured, sf1), so without the persist the
+    // corpus-sized explode+shuffle runs twice; with it, both sides
+    // scan a ~20 B/row columnar cache. Persist follows the QueryDef
+    // caching contract (callers clearCache).
+    val vt = withVariants(recs, str)
+      .select(col(key), xxhash64(col("variant")).as("__vfp"))
+      .persist()
+    val cand = vt.select(col(key).as(aKey), col("__vfp"))
+      .join(vt.select(col(key).as(bKey), col("__vfp")), "__vfp")
+      .filter(col(aKey) < col(bKey))
+      .select(col(aKey), col(bKey))
+      .distinct()
+    cand
+      .join(recs.select(col(key).as(aKey), col(str).as("__str_a")), Seq(aKey))
+      .join(recs.select(col(key).as(bKey), col(str).as("__str_b")), Seq(bKey))
+      .filter(levenshtein(col("__str_a"), col("__str_b")) <= maxDist)
+      .select(col(aKey), col(bKey))
+  }
 }

@@ -214,8 +214,11 @@ object SketchOps {
     val h1 = hexFold32(hex, 0)
     val h2 = hexFold32(hex, 8) % (w - 1) + 1L
     val arr = lit(cells)
-    least((0 until d).map(r =>
-      element_at(arr, ((h1 + lit(r.toLong) * h2) % w + r * w + 1L).cast("int"))): _*)
+    val rows = (0 until d).map(r =>
+      element_at(arr, ((h1 + lit(r.toLong) * h2) % w + r * w + 1L).cast("int")))
+    // least() needs >= 2 args (ADVICE r9 #2: cmsSketch accepts d >= 1
+    // but a d=1 lookup crashed at runtime — latent, callers use d=4).
+    if (d == 1) rows.head else least(rows: _*)
   }
 
   /** Priority sampling (Duffield, Lund, Thorup 2007): a weighted

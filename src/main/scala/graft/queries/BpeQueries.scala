@@ -29,7 +29,7 @@ object BpeQueries {
   // Training is deterministic, so memoizing the merge table per sf
   // dir cannot change results — it stops the three BPE QueryDefs from
   // each re-running the collect + 60-merge training loop (ADVICE r7).
-  private val mergeMemo = QueryMemos.register(
+  private val mergeMemo = QueryMemos.register("q_bpe_",
     new java.util.concurrent.ConcurrentHashMap[String, Seq[BpeOps.BpeMerge]]())
 
   private def trained(s: SparkSession, dir: String): Seq[BpeOps.BpeMerge] =

@@ -42,7 +42,7 @@ object ClassifierQueries {
   // learned weights per sf dir cannot change results — it only stops
   // the two classifier QueryDefs from each paying the 20-iteration
   // driver-side training loop (ADVICE r7).
-  private val weightMemo = QueryMemos.register(
+  private val weightMemo = QueryMemos.register("q_domain_classifier_",
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]())
 
   private def trainedAndScored(s: SparkSession, dir: String): (Array[Double], DataFrame) = {

@@ -118,11 +118,13 @@ object FuzzyJoinQueries {
         val records = master
           .unionByName(feed("d1x", "k % 32", "feed1"))
           .unionByName(feed("d2x", "(k * 7 + 5) % 32", "feed2"))
-        val pairs = FuzzyJoinOps.symspellSelfJoin(
-            records, "rid", "name",
-            "rid_a", "name_a", "rid_b", "name_b", maxDist = 1)
-          .filter(col("rid_a") < col("rid_b"))
-          .select(col("rid_a"), col("rid_b"))
+        // Narrow pair path (VERDICT r9 #1): only (rid, fingerprint)
+        // rides the corpus-sized exchange; strings join back onto the
+        // linear-sized candidate set for the verify. Same verified
+        // pair set as the symspellSelfJoin form (spec-gated), ~3×
+        // less shuffle width and no corpus-sized persist at sf10.
+        val pairs = FuzzyJoinOps.symspellSelfPairs(
+          records, "rid", "name", "rid_a", "rid_b", maxDist = 1)
         val labels = graft.operators.DedupOps
           .connectedComponents(pairs, "rid_a", "rid_b")
         records

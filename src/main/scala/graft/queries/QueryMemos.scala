@@ -8,18 +8,32 @@ package graft.queries
   * query would measure its own memo: the sf10 leg recorded
   * q_bpe_merges at 0.098 s because the >4 s cold first sample tripped
   * median-of-3 and both re-samples hit the warm merge table (isolated
-  * cost: 3.7 s). Bench clears these between re-samples of the SAME
-  * query; the cross-query sharing within a fleet run is unchanged.
+  * cost: 3.7 s).
+  *
+  * Memos register with their owning query-name PREFIX (ADVICE r9: an
+  * unscoped clear wiped OTHER families' not-yet-consumed memos on
+  * every >4 s re-sample, so a warm family member's re-samples could
+  * silently re-pay another family's training). Bench clears only the
+  * memos the resampled query owns; cross-query sharing within a fleet
+  * run is otherwise untouched.
   */
 object QueryMemos {
 
-  private val memos =
-    scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.ConcurrentHashMap[String, _]]
+  private val memos = scala.collection.mutable.ArrayBuffer
+    .empty[(String, java.util.concurrent.ConcurrentHashMap[String, _])]
 
-  private[queries] def register[M <: java.util.concurrent.ConcurrentHashMap[String, _]](m: M): M =
-    synchronized { memos += m; m }
+  /** Register a training memo owned by every query whose name starts
+    * with `ownerPrefix` (e.g. "q_bpe_", "q_domain_classifier_"). */
+  private[queries] def register[M <: java.util.concurrent.ConcurrentHashMap[String, _]](
+      ownerPrefix: String, m: M): M =
+    synchronized { memos += ownerPrefix -> m; m }
 
-  /** Drop every registered training artifact (they rebuild
-    * deterministically on next use). */
-  def clearTraining(): Unit = synchronized { memos.foreach(_.clear()) }
+  /** Drop the training artifacts OWNED by `queryName` (they rebuild
+    * deterministically on next use); other families' memos survive. */
+  def clearTraining(queryName: String): Unit = synchronized {
+    memos.foreach { case (prefix, m) => if (queryName.startsWith(prefix)) m.clear() }
+  }
+
+  /** Drop every registered training artifact. */
+  def clearTraining(): Unit = synchronized { memos.foreach(_._2.clear()) }
 }

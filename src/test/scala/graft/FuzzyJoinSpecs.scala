@@ -65,6 +65,33 @@ class FuzzyJoinSpecs extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("symspellSelfPairs equals the selfJoin-derived undirected pair set (narrow ER path)") {
+    // The VERDICT r9 #1 rewrite: pairs generated through the narrow
+    // (key, fingerprint) exchange + post-join verify must be the
+    // EXACT same undirected set the name-carrying selfJoin produced.
+    // Fixture reuses the ER shape (master + two corrupted feeds) so
+    // multi-variant collisions and dist-0/1 mixes are all present.
+    val base = runtime.Tables(spark, "/root/testdata/sf0.001").customer
+      .select(col("c_custkey").as("k"))
+      .withColumn("nm", md5(col("k").cast("string")))
+    def feed(prefix: String, posSql: String) =
+      base.select(
+        concat(lit(prefix), col("k")).as("rid"),
+        expr(s"concat(substring(nm, 1, CAST($posSql AS INT)), " +
+          s"substring(nm, CAST($posSql AS INT) + 2, 32))").as("name"))
+    val records = base.select(concat(lit("c"), col("k")).as("rid"), col("nm").as("name"))
+      .unionByName(feed("d1x", "k % 32"))
+      .unionByName(feed("d2x", "(k * 7 + 5) % 32"))
+    val old = FuzzyJoinOps.symspellSelfJoin(records, "rid", "name", "a", "na", "b", "nb")
+      .filter(col("a") < col("b"))
+      .select("a", "b").collect().map(_.toString).sorted.toSeq
+    val narrow = FuzzyJoinOps.symspellSelfPairs(records, "rid", "name", "a", "b")
+      .select("a", "b").collect().map(_.toString).sorted.toSeq
+    assert(narrow == old)
+    assert(narrow.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("fingerprint keying: variant join key is the 8-byte xxhash64, and ER CC converges in O(log) rounds") {
     // plan-level check: the candidate join must key on the hash, not
     // the variant string (shuffle-width claim in the docstring)

@@ -156,6 +156,15 @@ class SketchSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("est_count", SketchOps.cmsLookupCol(cells, col("k"), d, w))
       .collect().head.getLong(1)
     assert(inlineProbe == probe)
+
+    // d=1 degenerates to the single row's element_at (ADVICE r9 #2:
+    // least() needs two args and crashed here); estimate still upper-
+    // bounds truth (one-row CMS = plain hashing with collisions)
+    val cells1 = SketchOps.cmsCells(SketchOps.cmsSketch(df, "k", 1, w), 1, w)
+    val est1 = df.select(col("k")).distinct()
+      .withColumn("est_count", SketchOps.cmsLookupCol(cells1, col("k"), 1, w))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) => assert(est1(k) >= n, s"d=1 CMS must upper-bound key $k") }
   }
 
   private def ssSummary(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, (Long, Long)] = {
