@@ -294,26 +294,45 @@ object StreamingQueries {
     // emitted pairs equal the batch interval join exactly. Emits ALL
     // qualifying pairs — the attribution fan-out complement of
     // q_asof_purchase_attribution's nearest-only as-of.
+    //
+    // Bench-cost decomposition (VERDICT r9 #5, measured via
+    // graft.StreamProf at sf0.1): the run is already the MINIMAL batch
+    // count for this shape — batch 0 (all 200 k input rows; addBatch
+    // 2.6-4.1 s is the genuine dual-scan + stateful join) plus one
+    // EMPTY finalization batch whose only job is the terminal
+    // watermark advance that evicts state. At 32 shuffle partitions
+    // the empty batch cost 2.6-2.8 s — ~80 ms per HDFS-backed state
+    // store load/commit, ×32 partitions × join sides — for 40 k state
+    // rows, so the state partition count is set to 8 here (1.2 s →
+    // empty batch; 9.0 → 6.0 s wall). Fixed per-run runtime overhead,
+    // not a plan defect: ~0.8 s queryPlanning × 2 batches + source
+    // init remains. On a real cluster the same knob is sized to the
+    // stream's actual key cardinality (SCALE.md §6 #1); state volume
+    // here is interval-bounded either way.
     QueryDef(
       "q_stream_interval_join",
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        def side(eventType: String, idAs: String, uAs: String, tsAs: String) =
-          graft.runtime.Tables.normalizeEventTs(stream(s, dir, "events"))
-            .filter(col("event_type") === eventType)
-            .select(col("event_id").as(idAs), col("user_id").as(uAs),
-              col("ts").as(tsAs))
-            .withWatermark(tsAs, "1 hour")
-        val purchases = side("purchase", "purchase_id", "pu", "pts")
-        val views     = side("view", "view_id", "vu", "vts")
-        val joined = purchases
-          .join(views,
-            col("pu") === col("vu") &&
-              col("vts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
-              col("vts") <= col("pts"))
-          .select(col("purchase_id"), col("pu").as("user_id"), col("view_id"),
-            (unix_micros(col("pts")) - unix_micros(col("vts"))).as("delta_us"))
-        runToTable("stream_interval_join", joined, "append")
+        val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          def side(eventType: String, idAs: String, uAs: String, tsAs: String) =
+            graft.runtime.Tables.normalizeEventTs(stream(s, dir, "events"))
+              .filter(col("event_type") === eventType)
+              .select(col("event_id").as(idAs), col("user_id").as(uAs),
+                col("ts").as(tsAs))
+              .withWatermark(tsAs, "1 hour")
+          val purchases = side("purchase", "purchase_id", "pu", "pts")
+          val views     = side("view", "view_id", "vu", "vts")
+          val joined = purchases
+            .join(views,
+              col("pu") === col("vu") &&
+                col("vts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+                col("vts") <= col("pts"))
+            .select(col("purchase_id"), col("pu").as("user_id"), col("view_id"),
+              (unix_micros(col("pts")) - unix_micros(col("vts"))).as("delta_us"))
+          runToTable("stream_interval_join", joined, "append")
+        } finally s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
       },
       Some("""
         SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
