@@ -59,11 +59,22 @@ object SemanticLayerQueries {
     *
     * Projected to the consumed measures (current_price, std_diff_1yr,
     * pct_change_1yr) so ColumnPruning drops the other 17 window
-    * expressions everywhere downstream. Deliberately NOT persisted at
-    * this level: analysisReturn's internal `daily` cache already
-    * de-duplicates the expensive universe aggregation across the
-    * class slices, and an outer cache would force every pruned window
-    * column to materialize (measured 26 s vs 7.8 s at sf0.1). */
+    * expressions everywhere downstream — and PERSISTED at exactly this
+    * projected grain (VERDICT r9 #4). The consumers branch the frame
+    * by asset class (4 filter references in asset_daily_returns, 4 in
+    * cross_asset_daily_volatility), and since the window-form
+    * analysisReturn rewrite nothing below de-duplicates the lineitem
+    * universe aggregation across those references: the isolated lane
+    * was re-running the whole union+window pipeline once per branch
+    * (measured via AdrProbe — 12.4 s at sf1 / 64-80 s at sf10 for a
+    * CONSTANT 279,785-row output, ~4× the single-pass cost, the whole
+    * 12.59× isolated "decade growth" in the r9 record). The cache
+    * holds the 6 projected columns × a calendar×symbol-bounded row
+    * count — constant size at any fact volume; the cache sits ABOVE
+    * the pruning select, so none of the 17 dropped window columns
+    * materialize (the round-5 caution about an outer cache predates
+    * the projection and the daily-cache removal). Persist follows the
+    * QueryDef caching contract (callers clearCache). */
   private[queries] def layerAr(s: SparkSession, dir: String): DataFrame = {
     val equity = Seq(
       (concat(lit("SP_"), col("l_suppkey") % 100), "NYSE"),
@@ -81,9 +92,17 @@ object SemanticLayerQueries {
       "close", "high", "low", "volume",
       "adj_close", "adj_high", "adj_low", "adj_volume"))
       .reduce(_ unionByName _)
-    MarketAnalysisReturn.analysisReturn(uni)
+    val ar = MarketAnalysisReturn.analysisReturn(uni)
       .select("symbol", "exchange", "date",
         "current_price", "std_diff_1yr", "pct_change_1yr")
+      .persist()
+    // Materialize EAGERLY: the consumers' 4 class branches execute in
+    // ONE job, and concurrent tasks over a not-yet-materialized cached
+    // partition each recompute it (the block manager dedups storage,
+    // not in-flight computation) — a lazy persist here still paid ~4×
+    // the pipeline (measured: lazy 10.3 s vs eager ~4 s at sf1).
+    ar.count()
+    ar
   }
 
   private val nullS = lit(null).cast("string")
