@@ -158,11 +158,12 @@ object Bench {
     // round-over-round comparison. Names no longer in the registry
     // are dropped; partial (SPARK_GRAFT_ONLY) runs never merge.
     val sfTag = new java.io.File(sfDir).getName
-    // Suite runs own the canonical suffixed name ONLY at sf1 (the
-    // designated scale-evidence record); anywhere else they write a
-    // suite-tagged file so they can never clobber a full-fleet record.
+    // Suite runs ALWAYS write a suite-tagged file (r10: the full-fleet
+    // sf1 record now exists — VERDICT r9 #6 — so the r9 carve-out that
+    // let the scale suite own BENCH_FULL_sf1.json would clobber it);
+    // un-suffixed names belong to full-fleet runs, sf0.1 is canonical.
     val fullName =
-      if (suite.isDefined && sfTag != "sf1") s"BENCH_FULL_${suite.get}_$sfTag.json"
+      if (suite.isDefined) s"BENCH_FULL_${suite.get}_$sfTag.json"
       else if (sfTag == "sf0.1") "BENCH_FULL.json"
       else s"BENCH_FULL_$sfTag.json"
 

@@ -6,6 +6,12 @@ package graft
   * growth. `SPARK_GRAFT_SUITE=scale` runs exactly this set (and the
   * DAG lane) so a 10×-data run at sf1 measures the operators whose
   * scaling actually needs evidence, not the 300-query long tail.
+  *
+  * Stated exemptions (the r9 #8 membership rule): queries whose input
+  * is a fixed fixture rather than a corpus-scaled table are exempt —
+  * q_jpeg_decode_features (12 synthesized images at any SF; the codec
+  * is a narrow per-row pass whose LSH downstream is already covered by
+  * q_image_dhash_neardup's band-join gates).
   */
 object ScaleSuite {
   /** The 100× (sf10) leg drops the 16-bit fixture SimHash: its
