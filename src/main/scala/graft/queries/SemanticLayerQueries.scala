@@ -59,22 +59,25 @@ object SemanticLayerQueries {
     *
     * Projected to the consumed measures (current_price, std_diff_1yr,
     * pct_change_1yr) so ColumnPruning drops the other 17 window
-    * expressions everywhere downstream — and PERSISTED at exactly this
-    * projected grain (VERDICT r9 #4). The consumers branch the frame
-    * by asset class (4 filter references in asset_daily_returns, 4 in
-    * cross_asset_daily_volatility), and since the window-form
-    * analysisReturn rewrite nothing below de-duplicates the lineitem
-    * universe aggregation across those references: the isolated lane
-    * was re-running the whole union+window pipeline once per branch
-    * (measured via AdrProbe — 12.4 s at sf1 / 64-80 s at sf10 for a
-    * CONSTANT 279,785-row output, ~4× the single-pass cost, the whole
-    * 12.59× isolated "decade growth" in the r9 record). The cache
-    * holds the 6 projected columns × a calendar×symbol-bounded row
-    * count — constant size at any fact volume; the cache sits ABOVE
-    * the pruning select, so none of the 17 dropped window columns
-    * materialize (the round-5 caution about an outer cache predates
-    * the projection and the daily-cache removal). Persist follows the
-    * QueryDef caching contract (callers clearCache). */
+    * expressions everywhere downstream.
+    *
+    * Deliberately NOT persisted (r10 measurement, guide §5 "caching is
+    * only worth it when recomputing is more expensive than the memory
+    * pressure it creates"): the interrupted round-10 pre-work persisted
+    * this frame eagerly to collapse the 4 class-branch re-derivations
+    * the sf10 ISOLATED lane pays (AdrProbe analysis), but under the
+    * bench's count() methodology the un-persisted branches collapse by
+    * column pruning to cheap aggregations, while the eager persist
+    * forces full un-pruned materialization of all 20 window
+    * expressions per sample INSIDE the shared 4g driver-executor heap:
+    * measured at sf0.1, q_asset_daily_returns 5.3 s (r9, no persist)
+    * → 62.4 s median / 70–104 s per run (persist, wild GC-pressure
+    * variance), q_cross_asset_daily_volatility 3.2 → 16.5 s; removing
+    * the persist restores 7.3 s / 3.4 s in the same session
+    * (OPTIMIZATION_r10.md). The isolated-lane 4× re-derivation at
+    * sf10 remains the documented price of per-query isolation; the
+    * production read pattern is the DAG lane (flat 0.7–1.1 s reads,
+    * BENCH_FULL.json `dag`), per the AdrProbe adjudication. */
   private[queries] def layerAr(s: SparkSession, dir: String): DataFrame = {
     val equity = Seq(
       (concat(lit("SP_"), col("l_suppkey") % 100), "NYSE"),
@@ -92,17 +95,9 @@ object SemanticLayerQueries {
       "close", "high", "low", "volume",
       "adj_close", "adj_high", "adj_low", "adj_volume"))
       .reduce(_ unionByName _)
-    val ar = MarketAnalysisReturn.analysisReturn(uni)
+    MarketAnalysisReturn.analysisReturn(uni)
       .select("symbol", "exchange", "date",
         "current_price", "std_diff_1yr", "pct_change_1yr")
-      .persist()
-    // Materialize EAGERLY: the consumers' 4 class branches execute in
-    // ONE job, and concurrent tasks over a not-yet-materialized cached
-    // partition each recompute it (the block manager dedups storage,
-    // not in-flight computation) — a lazy persist here still paid ~4×
-    // the pipeline (measured: lazy 10.3 s vs eager ~4 s at sf1).
-    ar.count()
-    ar
   }
 
   private val nullS = lit(null).cast("string")
