@@ -135,7 +135,7 @@ object CrossAssetQueries {
     val spy = symPrices(s, dir, asOf, "SPY", "spy_d", "spy_close")
 
     val wv = Window.orderBy(col("vg_d"))
-    val vg = iwd.join(iwf, col("iwd_d") === col("iwf_d"))
+    val vg = iwd.join(broadcast(iwf), col("iwd_d") === col("iwf_d"))
       .select(col("iwd_d").as("vg_d"), col("iwd_close"), col("iwf_close"),
         when(col("iwf_close") > 0, col("iwd_close") / col("iwf_close")).as("iwd_iwf_ratio"))
       .select(col("vg_d"), col("iwd_close"), col("iwf_close"), col("iwd_iwf_ratio"),
@@ -143,14 +143,14 @@ object CrossAssetQueries {
         r4Sma(col("iwd_iwf_ratio"), wv, 200).as("iwd_iwf_sma_200"))
 
     val ws = Window.orderBy(col("sl_d"))
-    val sl = spy.join(iwm, col("spy_d") === col("iwm_d"))
+    val sl = spy.join(broadcast(iwm), col("spy_d") === col("iwm_d"))
       .select(col("spy_d").as("sl_d"),
         when(col("spy_close") > 0, col("iwm_close") / col("spy_close")).as("iwm_spy_ratio"))
       .select(col("sl_d"), col("iwm_spy_ratio"),
         r4Sma(col("iwm_spy_ratio"), ws, 50).as("iwm_spy_sma_50"),
         r4Sma(col("iwm_spy_ratio"), ws, 200).as("iwm_spy_sma_200"))
 
-    vg.join(sl, col("vg_d") === col("sl_d"), "left")
+    vg.join(broadcast(sl), col("vg_d") === col("sl_d"), "left")
       .select(col("vg_d").as("date"), col("iwd_close"), col("iwf_close"),
         col("iwd_iwf_ratio"), col("iwd_iwf_sma_50"), col("iwd_iwf_sma_200"),
         col("iwm_spy_ratio"), col("iwm_spy_sma_50"), col("iwm_spy_sma_200"))
@@ -199,7 +199,7 @@ object CrossAssetQueries {
     def ratioInd(symbol: String, rname: String): DataFrame = {
       val o = symPrices(s, dir, asOf, symbol, "o_d", "o_close")
       val w = Window.orderBy(col("r_d"))
-      spy.join(o, col("spy_d") === col("o_d"))
+      spy.join(broadcast(o), col("spy_d") === col("o_d"))
         .select(col("spy_d").as("r_d"),
           when(col("spy_close") =!= 0, col("o_close") / col("spy_close"))
             .as(rname))
@@ -212,7 +212,7 @@ object CrossAssetQueries {
       .withColumnRenamed("r_d", "i_d")
     val r = ratioInd("RSP", "rsp_spy_ratio")
 
-    i.join(r, col("i_d") === col("r_d"), "left")
+    i.join(broadcast(r), col("i_d") === col("r_d"), "left")
       .select(col("i_d").as("date"), col("iwm_spy_ratio"), col("iwm_spy_sma_50"),
         col("iwm_spy_sma_200"), col("rsp_spy_ratio"), col("rsp_spy_sma_50"),
         col("rsp_spy_sma_200"))
@@ -267,7 +267,7 @@ object CrossAssetQueries {
     val dia = symPrices(s, dir, asOf, "DIA", "dia_d", "dia_close")
     val iyt = symPrices(s, dir, asOf, "IYT", "iyt_d", "iyt_close")
     val wdow = Window.orderBy(col("dow_d"))
-    val dow = dia.join(iyt, col("dia_d") === col("iyt_d"))
+    val dow = dia.join(broadcast(iyt), col("dia_d") === col("iyt_d"))
       .select(col("dia_d").as("dow_d"), col("dia_close"), col("iyt_close"))
       .select(col("dow_d"), col("dia_close"), col("iyt_close"),
         max(col("dia_close")).over(wdow.rowsBetween(-251, 0)).as("dia_high_252d"),
@@ -276,15 +276,15 @@ object CrossAssetQueries {
     val soxx = symPrices(s, dir, asOf, "SOXX", "sx_d", "sx_close")
     val wsx  = Window.orderBy(col("sxr_d"))
     val soxxInd = spy.select(col("spy_d").as("__sd"), col("spy_close").as("__sc"))
-      .join(soxx, col("__sd") === col("sx_d"))
+      .join(broadcast(soxx), col("__sd") === col("sx_d"))
       .select(col("__sd").as("sxr_d"),
         when(col("__sc") =!= 0, col("sx_close") / col("__sc")).as("soxx_spy_ratio"))
       .select(col("sxr_d"), col("soxx_spy_ratio"),
         r4Sma(col("soxx_spy_ratio"), wsx, 200).as("soxx_spy_sma_200"))
 
     spy
-      .join(dow, col("spy_d") === col("dow_d"), "left")
-      .join(soxxInd, col("spy_d") === col("sxr_d"), "left")
+      .join(broadcast(dow), col("spy_d") === col("dow_d"), "left")
+      .join(broadcast(soxxInd), col("spy_d") === col("sxr_d"), "left")
       .select(
         col("spy_d").as("date"), col("dia_close"), col("iyt_close"),
         col("dia_high_252d"), col("iyt_high_252d"),
@@ -356,7 +356,7 @@ object CrossAssetQueries {
     val xlp = symPrices(s, dir, asOf, "XLP", "xlp_d", "xlp_close")
     val xly = symPrices(s, dir, asOf, "XLY", "xly_d", "xly_close")
     val wdf = Window.orderBy(col("df_d"))
-    val defensive = xlp.join(xly, col("xlp_d") === col("xly_d"))
+    val defensive = xlp.join(broadcast(xly), col("xlp_d") === col("xly_d"))
       .select(col("xlp_d").as("df_d"),
         when(col("xly_close") =!= 0, col("xlp_close") / col("xly_close"))
           .as("xlp_xly_ratio"))
@@ -367,15 +367,15 @@ object CrossAssetQueries {
     val fxa = symPrices(s, dir, asOf, "FXA", "fxa_d", "fxa_close")
     val wfx = Window.orderBy(col("fx_d"))
     val fxaInd = spy.select(col("spy_d").as("__sd"), col("spy_close").as("__sc"))
-      .join(fxa, col("__sd") === col("fxa_d"))
+      .join(broadcast(fxa), col("__sd") === col("fxa_d"))
       .select(col("__sd").as("fx_d"),
         when(col("__sc") =!= 0, col("fxa_close") / col("__sc")).as("fxa_spy_ratio"))
       .select(col("fx_d"), col("fxa_spy_ratio"),
         r4Sma(col("fxa_spy_ratio"), wfx, 50).as("fxa_spy_sma_50"))
 
     spy
-      .join(defensive, col("spy_d") === col("df_d"), "left")
-      .join(fxaInd, col("spy_d") === col("fx_d"), "left")
+      .join(broadcast(defensive), col("spy_d") === col("df_d"), "left")
+      .join(broadcast(fxaInd), col("spy_d") === col("fx_d"), "left")
       .select(
         col("spy_d").as("date"), col("xlp_xly_ratio"), col("xlp_xly_sma_50"),
         col("xlp_xly_sma_200"),

@@ -103,8 +103,8 @@ object CrossAssetQueries2 {
         col("hy_spread") - lag(col("hy_spread"), 20).over(whs))
 
     val hyEq = spy
-      .join(hyg, col("spy_d") === col("hyg_d"), "left")
-      .join(hySpread, col("spy_d") === col("hs_d"), "left")
+      .join(broadcast(hyg), col("spy_d") === col("hyg_d"), "left")
+      .join(broadcast(hySpread), col("spy_d") === col("hs_d"), "left")
       .select(col("spy_d").as("h_d"), col("spy_close"), col("spy_sma_50"),
         col("spy_sma_200"), col("spy_high_252d"), col("hyg_close"), col("hyg_sma_50"),
         col("hy_spread"), col("hy_spread_20d_change"),
@@ -122,13 +122,13 @@ object CrossAssetQueries2 {
       .select(col("gr_d"),
         (col("gr_close") / lag(col("gr_close"), 1).over(wg) - 1.0).as("govt_return"))
     val wcorr = Window.orderBy(col("sb_d")).rowsBetween(-251, 0)
-    val sbCorr = spyRet.join(govtRet, col("sr_d") === col("gr_d"))
+    val sbCorr = spyRet.join(broadcast(govtRet), col("sr_d") === col("gr_d"))
       .filter(col("spy_return").isNotNull && col("govt_return").isNotNull)
       .select(col("sr_d").as("sb_d"), col("spy_return"), col("govt_return"))
       .select(col("sb_d"),
         corr(col("spy_return"), col("govt_return")).over(wcorr).as("__corr_raw"))
 
-    hyEq.join(sbCorr, col("h_d") === col("sb_d"), "left")
+    hyEq.join(broadcast(sbCorr), col("h_d") === col("sb_d"), "left")
       .select(
         col("h_d").as("date"), col("spy_close"), col("spy_sma_50"), col("spy_sma_200"),
         col("spy_high_252d"), col("hyg_close"), col("hyg_sma_50"), col("hy_spread"),
@@ -235,7 +235,7 @@ object CrossAssetQueries2 {
     def d4b(c: Column): Column = c.cast(DecimalType(10, 4))
     def exAvgOf(prod: Column, cnt: Column): Column =
       sum(prod).over(f252).cast("double") / count(cnt).over(f252)
-    val reg = gold.join(dfii, col("g_d") === col("r_d"))
+    val reg = gold.join(broadcast(dfii), col("g_d") === col("r_d"))
       .select(col("g_d"), col("gold_price"), col("real_yield_10y"))
       .select(col("g_d"), col("gold_price"), col("real_yield_10y"),
         exAvgOf(d4(col("real_yield_10y")), col("real_yield_10y")).as("avg_real_yield"),
@@ -274,16 +274,16 @@ object CrossAssetQueries2 {
       .filter(col("bc_10year").isNotNull)
       .select(col("date").as("t_d"), col("bc_10year"))
     val wcg = Window.orderBy(col("cg_d")).rowsBetween(-251, 0)
-    val cg = gold.join(copper, col("g_d") === col("c_d"))
+    val cg = gold.join(broadcast(copper), col("g_d") === col("c_d"))
       .select(col("g_d").as("cg_d"),
         when(col("gold_price") =!= 0, col("copper_price") / col("gold_price") * 1000)
           .as("copper_gold_ratio"))
-      .join(treas, col("cg_d") === col("t_d"))
+      .join(broadcast(treas), col("cg_d") === col("t_d"))
       .select(col("cg_d"), col("copper_gold_ratio"), col("bc_10year").as("treasury_10y_yield"),
         r4(corr(col("copper_gold_ratio"), col("bc_10year")).over(wcg))
           .as("copper_gold_yield_corr_252d"))
 
-    gz.join(cg, col("g_d") === col("cg_d"), "left")
+    gz.join(broadcast(cg), col("g_d") === col("cg_d"), "left")
       .select(col("g_d").as("date"), col("gold_price"), col("real_yield_10y"),
         col("gold_real_residual"), col("gold_real_residual_zscore"),
         col("copper_gold_ratio"), col("treasury_10y_yield"),
@@ -405,10 +405,10 @@ object CrossAssetQueries2 {
         col("soxx_spy_ratio"), col("soxx_spy_sma_200"), col("semis_divergence_flag"))
 
     credit
-      .join(risk, col("date") === col("r_date"), "left")
-      .join(comm, col("date") === col("cm_date"), "left")
-      .join(breadth, col("date") === col("b_date"), "left")
-      .join(conf, col("date") === col("cf_date"), "left")
+      .join(broadcast(risk), col("date") === col("r_date"), "left")
+      .join(broadcast(comm), col("date") === col("cm_date"), "left")
+      .join(broadcast(breadth), col("date") === col("b_date"), "left")
+      .join(broadcast(conf), col("date") === col("cf_date"), "left")
       .crossJoin(broadcast(asOfFrame(s, dir, asOf)))
       .filter(col("date") >= add_months(col("__asof"), -36))
       .select(

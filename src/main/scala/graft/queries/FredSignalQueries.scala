@@ -207,8 +207,8 @@ object FredSignalQueries {
       .join(m1, col("m2_m") === col("m1_m"), "full_outer")
       .join(bl, coalesce(col("m2_m"), col("m1_m")) === col("bl_m"), "full_outer")
       .join(tc, coalesce(col("m2_m"), col("m1_m"), col("bl_m")) === col("tc_m"), "full_outer")
-      .join(wal, coalesce(col("m2_m"), col("m1_m")) === col("w_m"), "left")
-      .join(rrp, coalesce(col("m2_m"), col("m1_m")) === col("r_m"), "left")
+      .join(broadcast(wal), coalesce(col("m2_m"), col("m1_m")) === col("w_m"), "left")
+      .join(broadcast(rrp), coalesce(col("m2_m"), col("m1_m")) === col("r_m"), "left")
       .select(
         coalesce(col("m2_m"), col("m1_m"), col("bl_m"), col("tc_m")).as("date"),
         col("m2_level"), col("m1_level"), col("busloans"), col("total_consumer_credit"),
@@ -680,7 +680,7 @@ object FredSignalQueries {
     val iyg = when(col("interest_1y_ago").isNotNull && col("interest_1y_ago") > 0,
       (col("interest_payment") - col("interest_1y_ago")) / col("interest_1y_ago") * 100)
     debt
-      .join(interest, col("d_d") === col("i_d"), "left")
+      .join(broadcast(interest), col("d_d") === col("i_d"), "left")
       .crossJoin(broadcast(latestDeficit))
       .crossJoin(broadcast(maxDate(s, dir)))
       .select(
@@ -819,11 +819,11 @@ object FredSignalQueries {
       .distinct()
 
     allDates
-      .join(cpiYoy, col("date") === col("c_d"), "left")
-      .join(t10, col("date") === col("t_d"), "left")
-      .join(unr, col("date") === col("u_d"), "left")
-      .join(ff, col("date") === col("f_d"), "left")
-      .join(hy, col("date") === col("h_d"), "left")
+      .join(broadcast(cpiYoy), col("date") === col("c_d"), "left")
+      .join(broadcast(t10), col("date") === col("t_d"), "left")
+      .join(broadcast(unr), col("date") === col("u_d"), "left")
+      .join(broadcast(ff), col("date") === col("f_d"), "left")
+      .join(broadcast(hy), col("date") === col("h_d"), "left")
       .crossJoin(broadcast(maxDate(s, dir)))
       .filter(col("date") >= add_months(col("__maxd"), -24))
       .select(col("date"), col("cpi_yoy_pct"), col("t10y2y_spread"),

@@ -227,8 +227,8 @@ object MarketSignalsQueries {
     val pairRets = broadcast(pairs)
       .join(rets.select(col("symbol").as("ra_sym"), col("date").as("pr_date"),
         col("daily_return").as("return_a")), col("symbol_a") === col("ra_sym"))
-      .join(rets.select(col("symbol").as("rb_sym"), col("date").as("rb_date"),
-        col("daily_return").as("return_b")),
+      .join(broadcast(rets.select(col("symbol").as("rb_sym"), col("date").as("rb_date"),
+        col("daily_return").as("return_b"))),
         col("symbol_b") === col("rb_sym") && col("pr_date") === col("rb_date"))
     val wPair = Window.partitionBy(col("symbol_a"), col("symbol_b"))
       .orderBy(col("pr_date")).rowsBetween(-62, 0)
@@ -238,10 +238,10 @@ object MarketSignalsQueries {
       .agg(avg(col("pair_corr_63d")).as("avg_pair_correlation_63d"))
 
     mc
-      .join(spy, col("date") === col("s_date"), "left")
-      .join(participation, col("date") === col("p_date"), "left")
-      .join(pairCorr, col("date") === col("c_date"), "left")
-      .join(dispersion, col("date") === col("d_date"), "left")
+      .join(broadcast(spy), col("date") === col("s_date"), "left")
+      .join(broadcast(participation), col("date") === col("p_date"), "left")
+      .join(broadcast(pairCorr), col("date") === col("c_date"), "left")
+      .join(broadcast(dispersion), col("date") === col("d_date"), "left")
       .select(
         col("date"), col("total_stocks"), col("stocks_above_200_ma"), col("stocks_above_50_ma"),
         col("advancing_stocks"), col("declining_stocks"), col("unchanged_stocks"),
@@ -560,9 +560,9 @@ object MarketSignalsQueries {
 
     val anchor = spyDaily.agg(max(col("date")).as("today"))
     rsi
-      .join(boll, col("date") === col("b_date"), "left")
-      .join(zscore, col("date") === col("z_date"), "left")
-      .join(vix, col("date") === col("v_date"), "left")
+      .join(broadcast(boll), col("date") === col("b_date"), "left")
+      .join(broadcast(zscore), col("date") === col("z_date"), "left")
+      .join(broadcast(vix), col("date") === col("v_date"), "left")
       .crossJoin(broadcast(anchor))
       .filter(col("date") >= add_months(col("today"), -36))
       .select(
@@ -722,10 +722,10 @@ object MarketSignalsQueries {
     val allDates = gold.select(col("gold_price_date").as("date"))
       .union(spy.select(col("s_date"))).distinct()
     val combined = allDates
-      .join(gold, col("date") === col("gold_price_date"), "left")
-      .join(copper, col("date") === col("copper_price_date"), "left")
-      .join(oil, col("date") === col("oil_price_date"), "left")
-      .join(spy, col("date") === col("s_date"), "left")
+      .join(broadcast(gold), col("date") === col("gold_price_date"), "left")
+      .join(broadcast(copper), col("date") === col("copper_price_date"), "left")
+      .join(broadcast(oil), col("date") === col("oil_price_date"), "left")
+      .join(broadcast(spy), col("date") === col("s_date"), "left")
       .filter(col("gold_price").isNotNull || col("spy_price").isNotNull)
       .select(col("date"), col("gold_price"), col("copper_price"), col("oil_price"), col("spy_price"))
 

@@ -120,12 +120,12 @@ object MarketsQueries2 {
       "comparison_symbol", "comparison_daily_return")
 
     val latest = factorPx.select(col("date").as("f_date"))
-      .join(comparisonPx.select(col("date").as("c_date")),
+      .join(broadcast(comparisonPx.select(col("date").as("c_date"))),
         col("f_date") === col("c_date"))
       .agg(max(col("f_date")).as("as_of_date"))
 
     val joined = factorPx
-      .join(comparisonPx.withColumnRenamed("date", "c_d"), col("date") === col("c_d"))
+      .join(broadcast(comparisonPx.withColumnRenamed("date", "c_d")), col("date") === col("c_d"))
       .crossJoin(broadcast(latest))
       .filter(col("factor_daily_return").isNotNull &&
         col("comparison_daily_return").isNotNull &&
@@ -158,8 +158,8 @@ object MarketsQueries2 {
     corrs
       .join(broadcast(fm), col("factor_symbol") === col("fm_sym"), "left")
       .join(broadcast(cm), col("comparison_symbol") === col("cm_sym"), "left")
-      .join(factorPerf, col("factor_symbol") === col("fp_sym"), "left")
-      .join(comparisonPerf, col("comparison_symbol") === col("cp_sym"), "left")
+      .join(broadcast(factorPerf), col("factor_symbol") === col("fp_sym"), "left")
+      .join(broadcast(comparisonPerf), col("comparison_symbol") === col("cp_sym"), "left")
       .select(
         concat(col("factor_symbol"), lit(":"), col("comparison_symbol"), lit(":"),
           col("as_of_date").cast("string")).as("factor_sector_key"),
