@@ -48,20 +48,32 @@ object MarketAnalysisReturn {
     * nothing persisted here.
     */
   def analysisReturn(uni: DataFrame): DataFrame = {
-    val wLag = Window.partitionBy(col("symbol"), col("exchange")).orderBy(col("date"))
+    // Every window in this model orders by ONE materialized day-ordinal
+    // COLUMN (not a per-batch epochDay(...) expression): the lag pass
+    // and the range pass are sequential window batches, and when each
+    // batch extracts its own `_wN` ordering alias EnsureRequirements
+    // cannot see they are the same order — the second batch paid a
+    // full re-sort of the frame (observed in the r10 before-plan:
+    // Sort(11)[symbol,_w0] then Sort(15)[symbol,_w1] over identical
+    // data). Ordering both batches by the same attribute eliminates
+    // the second sort; epochDay is monotone in date, so lag results
+    // are unchanged. __mar_day is dropped by the final select.
+    val wLag = Window.partitionBy(col("symbol"), col("exchange"))
+      .orderBy(col("__mar_day"))
     val daily = uni
       .filter(col("adj_close").isNotNull)
+      .withColumn("__mar_day", epochDay(col("date")))
       .withColumn("daily_diff", col("adj_close") - lag(col("adj_close"), 1).over(wLag))
     def w(days: Int) = Window
       .partitionBy(col("symbol"), col("exchange"))
-      .orderBy(epochDay(col("date")))
+      .orderBy(col("__mar_day"))
       .rangeBetween(-days, 0)
     // the bar exactly `days` calendar days back — grain is unique per
     // (symbol, exchange, date), so the single-point frame holds at
     // most one row and max() is "that bar's price, or NULL"
     def at(days: Int) = Window
       .partitionBy(col("symbol"), col("exchange"))
-      .orderBy(epochDay(col("date")))
+      .orderBy(col("__mar_day"))
       .rangeBetween(-days, -days)
     val dec5 = col("daily_diff").cast(DecimalType(18, 3))
     val horizonCols = Horizons.flatMap { case (d, tag) =>

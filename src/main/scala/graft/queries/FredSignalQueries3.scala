@@ -515,7 +515,7 @@ object FredSignalQueries3 {
     val aaa = stg.filter(col("series_code") === "BAMLC0A1CAAA" && col("value").isNotNull)
       .select(col("date").as("a_d"), col("value").as("aaa_oas"))
 
-    val wh  = Window.orderBy(col("h_d"))
+    val wh  = Window.orderBy(epochDay(col("h_d")))
     val f20 = wh.rowsBetween(-19, 0)
     val f60 = wh.rowsBetween(-59, 0)
     val base = hy
@@ -532,7 +532,7 @@ object FredSignalQueries3 {
       .withColumn("hy_oas_20d_avg", col("s20_dec").cast("double") / col("n20"))
       .withColumn("hy_oas_60d_avg", col("s60_dec").cast("double") / col("n60"))
 
-    val wd   = Window.orderBy(col("h_d"))
+    val wd   = Window.orderBy(epochDay(col("h_d")))
     val f252 = wd.rowsBetween(-251, 0)
     val wm = base
       .withColumn("chg_1y_avg",
