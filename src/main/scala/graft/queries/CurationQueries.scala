@@ -399,8 +399,13 @@ object CurationQueries {
         val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
         val cp = cb.groupBy(substring(col("bg"), 1, 1).as("pc"))
           .agg(sum(col("c_bg")).as("c_pc"))
+        // vocab = distinct chars across the corpus. Dedup per-document
+        // BEFORE the explode (array_distinct is a narrow map-side pass)
+        // so the exchange carries ≤ charset rows per doc instead of
+        // every character of the corpus — same distinct set, same
+        // count, ~50× fewer exploded rows at any scale.
         val v = docs
-          .select(explode(split(col("text"), "")).as("ch"))
+          .select(explode(array_distinct(split(col("text"), ""))).as("ch"))
           .filter(length(col("ch")) === 1)
           .agg(countDistinct(col("ch")).as("vsize"))
         val bits = -log(
