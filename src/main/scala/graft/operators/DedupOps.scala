@@ -572,6 +572,14 @@ object DedupOps {
     var converged = false
     var rounds    = 0
     val tStart    = System.nanoTime()
+    // Loop shuffle width from |E| (LoopWidth, guide §2): every round
+    // is two joins + a groupBy over ≤|E| rows, so small pair lists run
+    // narrow rounds; at scale the derived width hits the session cap
+    // and nothing changes. The count is cheap — `edges` is an eagerly
+    // materialized checkpoint.
+    val spark = pairs.sparkSession
+    val loopW = graft.runtime.LoopWidth.derive(spark, edges.count())
+    graft.runtime.LoopWidth.withWidth(spark, loopW) {
     while (!converged && rounds < maxIter) {
       val tRound = System.nanoTime()
       val viaNeighbors = edges
@@ -597,6 +605,7 @@ object DedupOps {
       // r8 #4 — rounds and per-round cost from the bench run itself,
       // not just the sf0.001 spec fixture).
       System.err.println(f"[cc] round=$rounds%d converged=$converged%b ${(System.nanoTime() - tRound) / 1e9}%.2fs")
+    }
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
     System.err.println(f"[cc] total rounds=$rounds%d ${(System.nanoTime() - tStart) / 1e9}%.2fs")

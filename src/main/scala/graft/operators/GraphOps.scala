@@ -61,45 +61,67 @@ object GraphOps {
     // no exchange on the (large) edge side. Degree via a count window
     // over the src-partitioned frame — one exchange where the
     // groupBy-then-join shape paid two plus a join.
-    val e2 = e.repartition(col("src"))
+    val e2w = e.repartition(col("src"))
       .withColumn("__deg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .cache()
-    val nodes = e2.select(col("src").as("node")).distinct().cache()
-    val n = nodes.count() // the one driver-side scalar
+    val nodesw = e2w.select(col("src").as("node")).distinct().cache()
+    val n = nodesw.count() // the one driver-side scalar (materializes both caches)
     require(n > 0, "empty graph")
+    // Loop shuffle width derives from |E| (LoopWidth, guide §2): when
+    // the derived width is below the session width, re-key the two
+    // cached loop frames once (a narrow reshuffle of already-cached
+    // rows — only ever paid when the data is small) so every round's
+    // join/agg/checkpoint runs that many tasks instead of session-width
+    // counts. At scale the derived width hits the session cap and this
+    // branch is a no-op.
+    val m = e2w.count() // cheap: cached
+    val p = graft.runtime.LoopWidth.derive(spark, m)
+    val sessionW = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val narrowed = p < sessionW
+    val (e2, nodes) =
+      if (narrowed) {
+        val a = e2w.repartition(p, col("src")).cache()
+        val b = nodesw.repartition(p, col("node")).cache()
+        b.count(); a.count() // materialize narrow caches, then drop the wide ones
+        e2w.unpersist(blocking = false); nodesw.unpersist(blocking = false)
+        (a, b)
+      } else (e2w, nodesw)
     val basePart = (Unit12 * (dampDen - dampNum) / dampDen) / n // exact long
-    var ranks = nodes.withColumn("rank_u12", lit(Unit12 / n))
-      .localCheckpoint(true) // eager: plan truncated to a flat scan
-    for (_ <- 1 to iterations) {
-      val contribs = e2
-        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
-        .select(col("dst").as("node"), expr("rank_u12 div __deg").as("__c"))
-        .groupBy(col("node"))
-        .agg(sum(col("__c")).as("__in"))
-      // `completeInbound` (callers whose edge list is symmetrized —
-      // then every node is some neighbor's dst, so contribs already
-      // carries every node): skip the per-round re-anchoring join
-      // against `nodes` that exists only to resurrect zero-inbound
-      // nodes. 8 iterations → 8 joins saved.
-      val updated =
-        if (completeInbound)
-          contribs.select(col("node"),
-            (lit(basePart) + expr(s"(__in * $dampNum) div $dampDen")).as("rank_u12"))
-        else
-          nodes
-            .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
-            .select(col("node"),
-              (lit(basePart) +
-                expr(s"(coalesce(__in, 0L) * $dampNum) div $dampDen"))
-                .as("rank_u12"))
-      val next = updated.localCheckpoint(true)
-      // The superseded round's checkpoint blocks are dead the moment
-      // `next` is (eagerly) materialized — drop them now instead of
-      // letting executor storage grow by one |V| block set per
-      // iteration until ContextCleaner GC (ADVICE r6).
-      dropCheckpoint(ranks)
-      ranks = next
+    val ranks = graft.runtime.LoopWidth.withWidth(spark, p) {
+      var rk = nodes.withColumn("rank_u12", lit(Unit12 / n))
+        .localCheckpoint(true) // eager: plan truncated to a flat scan
+      for (_ <- 1 to iterations) {
+        val contribs = e2
+          .join(rk.withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
+          .select(col("dst").as("node"), expr("rank_u12 div __deg").as("__c"))
+          .groupBy(col("node"))
+          .agg(sum(col("__c")).as("__in"))
+        // `completeInbound` (callers whose edge list is symmetrized —
+        // then every node is some neighbor's dst, so contribs already
+        // carries every node): skip the per-round re-anchoring join
+        // against `nodes` that exists only to resurrect zero-inbound
+        // nodes. 8 iterations → 8 joins saved.
+        val updated =
+          if (completeInbound)
+            contribs.select(col("node"),
+              (lit(basePart) + expr(s"(__in * $dampNum) div $dampDen")).as("rank_u12"))
+          else
+            nodes
+              .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
+              .select(col("node"),
+                (lit(basePart) +
+                  expr(s"(coalesce(__in, 0L) * $dampNum) div $dampDen"))
+                  .as("rank_u12"))
+        val next = updated.localCheckpoint(true)
+        // The superseded round's checkpoint blocks are dead the moment
+        // `next` is (eagerly) materialized — drop them now instead of
+        // letting executor storage grow by one |V| block set per
+        // iteration until ContextCleaner GC (ADVICE r6).
+        dropCheckpoint(rk)
+        rk = next
+      }
+      rk
     }
     e2.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
@@ -196,7 +218,8 @@ object GraphOps {
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+    val spark = pairs.sparkSession
+    val edgesw = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("dst"))
       .persist()
@@ -204,9 +227,22 @@ object GraphOps {
     // the cache is materialized (and its partitioning visible to the
     // planner) before any round is planned — same reason as the
     // explicit count() in [[boundedBfs]].
-    var labels = edges.select(col("src").as("node")).distinct()
+    var labels = edgesw.select(col("src").as("node")).distinct()
       .withColumn("label", col("node").cast("long"))
       .localCheckpoint(true)
+    // Loop width from |E| (LoopWidth, guide §2): re-key the cached
+    // edge frame once when the derived width is below the session
+    // width (a narrow reshuffle, only paid when the data is small);
+    // every round then runs p-task stages instead of session-width.
+    val p = graft.runtime.LoopWidth.derive(spark, edgesw.count())
+    val sessionW = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val edges =
+      if (p < sessionW) {
+        val a = edgesw.repartition(p, col("dst")).persist()
+        a.count()
+        edgesw.unpersist(blocking = false)
+        a
+      } else edgesw
     // Node ids must CAST to longs — a non-numeric id (e.g. the
     // 'c:1'-style string ids elsewhere in this file) casts to NULL,
     // which the label join then silently drops, corrupting every round
@@ -219,10 +255,12 @@ object GraphOps {
     require(badIds == 0,
       "labelPropagation: node ids must cast to longs; found NULL after cast — " +
         "map string ids to longs (e.g. dense rank or xxhash64) first")
-    for (_ <- 1 to iterations) {
-      val next = lpaRound(edges, labels).localCheckpoint(true)
-      dropCheckpoint(labels)
-      labels = next
+    graft.runtime.LoopWidth.withWidth(spark, p) {
+      for (_ <- 1 to iterations) {
+        val next = lpaRound(edges, labels).localCheckpoint(true)
+        dropCheckpoint(labels)
+        labels = next
+      }
     }
     edges.unpersist(blocking = false)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
@@ -263,7 +301,8 @@ object GraphOps {
     * join per round; at |V| ≪ |E| the full re-min is cheaper. */
   def boundedBfs(edges: DataFrame, source: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val spark = edges.sparkSession
+    val ew = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .persist()
     // Materialize the cache BEFORE planning round 1: an AQE-planned
@@ -271,14 +310,27 @@ object GraphOps {
     // so the first round's join would re-exchange the |E| side
     // (later rounds, planned after execution fills the cache, line
     // up anyway — PlanSpecs gates the aligned shape).
-    e.count()
-    var dist = e.sparkSession.range(1)
+    val m = ew.count()
+    // Loop width from |E| (LoopWidth, guide §2) — the narrow re-key of
+    // the cached edge frame is only paid when the data is small.
+    val p = graft.runtime.LoopWidth.derive(spark, m)
+    val sessionW = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val e =
+      if (p < sessionW) {
+        val a = ew.repartition(p, col("src")).persist()
+        a.count()
+        ew.unpersist(blocking = false)
+        a
+      } else ew
+    var dist = spark.range(1)
       .select(lit(source).as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
-      val next = bfsRound(e, dist).localCheckpoint(true)
-      dropCheckpoint(dist)
-      dist = next
+    graft.runtime.LoopWidth.withWidth(spark, p) {
+      for (_ <- 1 to maxHops) {
+        val next = bfsRound(e, dist).localCheckpoint(true)
+        dropCheckpoint(dist)
+        dist = next
+      }
     }
     e.unpersist(blocking = false)
     dist
