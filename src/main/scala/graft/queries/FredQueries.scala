@@ -64,7 +64,8 @@ object FredQueries {
     * identical by construction (rows below the bound cannot join any
     * snapshot window). */
   def fredSeries(s: SparkSession, dir: String,
-                 minDate: Option[String] = None): DataFrame = {
+                 minDate: Option[String] = None,
+                 seriesKeyed: Boolean = true): DataFrame = {
     val li0 = T(s, dir).lineitem
     val li = minDate.fold(li0)(d => li0.filter(to_date(col("l_shipdate")) >= to_date(lit(d))))
     // ONE fact scan for all three families: each lineitem row fans out
@@ -85,14 +86,45 @@ object FredQueries {
     // scans) reference this staging more than once in one plan — the
     // fact-table aggregation pass must not repeat per branch (same
     // contract as FredSignalQueries.stgFred; Verify/Bench clear the
-    // cache between queries)
-    li.select(col("l_extendedprice"), to_date(col("l_shipdate")).as("d"),
+    // cache between queries).
+    //
+    // r11 (guide §2.4 — operations keyed the same way share one
+    // exchange): the cached cells are RE-KEYED by series_code alone
+    // and materialized eagerly. HashPartitioning(series_code)
+    // satisfies ClusteredDistribution for EVERY downstream grouping
+    // that contains series_code — the monthly rollup, the grain gate,
+    // the per-series cell collect, the per-series windows — so each
+    // consumer's whole aggregation chain plans with ZERO further
+    // exchanges instead of one per step. The eager count exists
+    // because an unmaterialized AQE cache reports unknown output
+    // partitioning (the boundedBfs gotcha): consumers planned against
+    // a cold cache would re-insert every exchange. One extra
+    // cell-sized shuffle here removes two-to-three per consumer.
+    //
+    // `seriesKeyed = false` keeps the round-6 lazy shape for the two
+    // spine-join consumers (fred_monthly_diff / quarterly_roc): their
+    // joins on (series_code, d) and (series_code, year_month) re-
+    // exchange regardless (co-partitioning requires ALL join keys), so
+    // for them the re-key + eager count is pure overhead (measured
+    // +0.5–0.8 s each at sf0.1).
+    val cells = li.select(col("l_extendedprice"), to_date(col("l_shipdate")).as("d"),
         explode(fams).as("series_code"))
       .groupBy(col("series_code"), col("d"))
       .agg(QueryDef.rdiv(sum(col("l_extendedprice").cast(DecimalType(18, 6))), count(lit(1)), 4)
         .as("value"))
       .withColumn("series_name", concat(lit("Series "), col("series_code")))
-      .persist()
+    if (!seriesKeyed) cells.persist()
+    else {
+      // explicit width: a bare repartition(col) is AQE-coalescible and
+      // collapses this small cache to ~1 partition, serializing every
+      // exchange-free consumer chain downstream — pin the session width
+      val staged = cells
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+          col("series_code"))
+        .persist()
+      staged.count()
+      staged
+    }
   }
 
   val fredSeriesSql = s"""
@@ -114,7 +146,7 @@ object FredQueries {
   /** Monthly-grain staging (first-of-month dates), one row per
     * (series_code, month) — the shape fred_monthly_diff assumes. */
   private def fredMonthly(s: SparkSession, dir: String): DataFrame =
-    fredSeries(s, dir)
+    fredSeries(s, dir, seriesKeyed = false)
       .groupBy(col("series_code"), col("series_name"), trunc(col("d"), "month").as("d"))
       .agg(r4(dsum(col("value")) / count(lit(1))).as("value"))
 
@@ -379,7 +411,7 @@ object FredQueries {
     QueryDef(
       "q_fred_quarterly_roc",
       (s, dir) => {
-        val fm = fredSeries(s, dir)
+        val fm = fredSeries(s, dir, seriesKeyed = false)
           .groupBy(col("series_code"), col("series_name"), trunc(col("d"), "month").as("month_date"))
           .agg((dsum(col("value")) / count(lit(1))).as("avg_value"))
           .withColumn("year_month",
