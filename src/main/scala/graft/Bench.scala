@@ -162,10 +162,14 @@ object Bench {
     // sf1 record now exists — VERDICT r9 #6 — so the r9 carve-out that
     // let the scale suite own BENCH_FULL_sf1.json would clobber it);
     // un-suffixed names belong to full-fleet runs, sf0.1 is canonical.
+    // Non-canonical core counts get a _c<cpus> suffix (VERDICT r10 #5:
+    // an 8-core full run must neither clobber nor pollute the 32-core
+    // record's min map — minima are only comparable at one core count).
+    val cpuTag = if (cpus == "32") "" else s"_c$cpus"
     val fullName =
-      if (suite.isDefined) s"BENCH_FULL_${suite.get}_$sfTag.json"
-      else if (sfTag == "sf0.1") "BENCH_FULL.json"
-      else s"BENCH_FULL_$sfTag.json"
+      if (suite.isDefined) s"BENCH_FULL_${suite.get}_$sfTag$cpuTag.json"
+      else if (sfTag == "sf0.1") s"BENCH_FULL$cpuTag.json"
+      else s"BENCH_FULL_$sfTag$cpuTag.json"
 
     // Cross-run minima are only comparable across runs of the SAME
     // engine code (ADVICE r8: an unconditional merge lets a regressed
@@ -219,7 +223,15 @@ object Bench {
         .compile("\"code\":\"([0-9a-f]*)\"").matcher(priorTxt)
       if (m.find()) m.group(1) else ""
     }
-    val mergePrior = codeFp.nonEmpty && priorCode == codeFp
+    // Minima merge only within the same (code fingerprint, cpus) scope
+    // (VERDICT r10 #5): a prior record missing the cpus field predates
+    // the scoping and never merges.
+    val priorCpus = {
+      val m = java.util.regex.Pattern
+        .compile("\"cpus\":\"?([0-9]+)\"?").matcher(priorTxt)
+      if (m.find()) m.group(1) else ""
+    }
+    val mergePrior = codeFp.nonEmpty && priorCode == codeFp && priorCpus == cpus
     if (record && priorTxt.nonEmpty && !mergePrior)
       System.err.println(s"[bench] $fullName min map reset (main-source fingerprint changed)")
     val priorMin: Map[String, Double] =
@@ -291,11 +303,20 @@ object Bench {
       val (bMin, tsMin) = dagMinJson.get
       s""","dag_build":${fmt(b)},"dag_build_min":${fmt(bMin)},"dag":${qmap(ts)},"dag_min":${qmap(tsMin)}"""
     }.getOrElse("")
+    // Compact (stdout) variant without the dag_min duplicate — the
+    // printed line must stay well under the driver's ~2000-char tail
+    // capture (VERDICT r10 #2: BENCH_r09's line outgrew it and cost a
+    // round of round-over-round comparability; full maps live in the
+    // record file).
+    val dagJsonCompact = dagLane.map { case (b, ts) =>
+      val bMin = dagMinJson.get._1
+      s""","dag_build":${fmt(b)},"dag_build_min":${fmt(bMin)},"dag":${qmap(ts)}"""
+    }.getOrElse("")
     val suiteJson = suite.map(su => s""","suite":"$su"""").getOrElse("")
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"code":"$codeFp"$suiteJson$failedJson,"queries":${qmap(results.map(r => (r._1, r._2)))},"min":${qmap(minMap)},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")}$dagJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"code":"$codeFp","cpus":$cpus$suiteJson$failedJson,"queries":${qmap(results.map(r => (r._1, r._2)))},"min":${qmap(minMap)},"runs":${rerun.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")}$dagJson,"sf":"$sfDir"}"""
     if (record) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullName), full + "\n")
       catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] $fullName write failed: ${e.getMessage}") }
@@ -304,12 +325,15 @@ object Bench {
     // Compact line for the driver: total + the slowest queries, largest
     // first, as many as fit a conservative line budget.
     val byCost = results.map(r => (r._1, r._2)).sortBy(-_._2)
-    val budget = 1100 // chars for the queries map; dag section + line stay < ~2000
+    // Both caps bound the printed line (VERDICT r10 #2): at most 15
+    // slowest queries AND a 700-char map budget, so the whole line
+    // stays < ~1500 chars even with the dag section.
+    val budget = 700
     val top = {
       val b = Seq.newBuilder[(String, Double)]
       var used = 2
       var i = 0
-      while (i < byCost.length && used + byCost(i)._1.length + 12 < budget) {
+      while (i < byCost.length && i < 15 && used + byCost(i)._1.length + 12 < budget) {
         b += byCost(i)
         used += byCost(i)._1.length + 12
         i += 1
@@ -320,7 +344,7 @@ object Bench {
     // the storm-resistant comparable (a single run's total conflates
     // plan cost with whatever the host was doing that quarter hour)
     val minTotal = if (record) s""","min_total":${fmt(minMap.map(_._2).sum)}""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"$fullName"$minTotal$failedJson,"queries":${qmap(top)}$dagJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"top_slowest":${top.size},"median_of_3":${rerun.size},"detail":"$fullName"$minTotal$failedJson,"queries":${qmap(top)}$dagJsonCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
